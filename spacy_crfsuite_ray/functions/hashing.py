@@ -1,0 +1,142 @@
+"""Deterministic hashing: surrogate ids, minhash, simhash, fingerprints.
+
+All ids are content hashes (sha1/md5 prefixes) so re-runs are byte-stable and
+resume/dedup never depend on execution order (SURVEY.md §4 determinism row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterable, List
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MINHASH_SEED = 1
+
+
+def node_id(canonical: str, type_: str) -> str:
+    """16-hex-char surrogate id for a graph node."""
+    return hashlib.sha1(f"{canonical}|{type_}".encode("utf-8")).hexdigest()[:16]
+
+
+def edge_id(subj_id: str, pred: str, obj_id: str) -> str:
+    return hashlib.sha1(f"{subj_id}|{pred}|{obj_id}".encode("utf-8")).hexdigest()[:16]
+
+
+def text_md5(text: str) -> str:
+    """md5 hex of utf-8 text — matches DuckDB ``md5(text)`` for the oracle."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def char_shingles(text: str, k: int = 3) -> List[str]:
+    if len(text) < k:
+        return [text] if text else []
+    return [text[i:i + k] for i in range(len(text) - k + 1)]
+
+
+def word_shingles(text: str, k: int = 3) -> List[str]:
+    words = text.split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
+def _shingle_hashes(shingles: Iterable[str]) -> np.ndarray:
+    return np.array(
+        [
+            struct.unpack("<Q", hashlib.sha1(s.encode("utf-8")).digest()[:8])[0]
+            for s in set(shingles)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def _perm_params(num_perm: int) -> np.ndarray:
+    """Deterministic (a, b) params for universal hashing, seeded once.
+    ``a`` is forced odd so a*h+b (mod 2^64) is a bijection on uint64."""
+    rng = np.random.RandomState(_MINHASH_SEED)
+    a = rng.randint(1, 1 << 62, size=num_perm).astype(np.uint64) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+    return np.stack([a, b])
+
+
+_PERM_CACHE: dict = {}
+
+
+def minhash_signature(shingles: Iterable[str], num_perm: int = 128) -> np.ndarray:
+    """Classic minhash signature (uint64[num_perm]) over a shingle set.
+    Permutations are (a*h + b) mod 2^64 with odd a — vectorized, no Python
+    bigint math."""
+    if num_perm not in _PERM_CACHE:
+        _PERM_CACHE[num_perm] = _perm_params(num_perm)
+    a, b = _PERM_CACHE[num_perm]
+    hv = _shingle_hashes(shingles)
+    if hv.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * hv[None, :] + b[:, None]
+    return vals.min(axis=1)
+
+
+def minhash_bands(sig: np.ndarray, bands: int = 16) -> List[str]:
+    """LSH band keys: hash of each contiguous band of the signature."""
+    rows = len(sig) // bands
+    keys = []
+    for b in range(bands):
+        band = sig[b * rows:(b + 1) * rows].tobytes()
+        keys.append(f"{b}:{hashlib.sha1(band).hexdigest()[:12]}")
+    return keys
+
+
+def simhash64(tokens: Iterable[str]) -> int:
+    """64-bit simhash over token hashes (Charikar 2002)."""
+    acc = np.zeros(64, dtype=np.int64)
+    n = 0
+    for tok in tokens:
+        h = struct.unpack("<Q", hashlib.sha1(tok.encode("utf-8")).digest()[:8])[0]
+        bits = np.unpackbits(
+            np.frombuffer(struct.pack("<Q", h), dtype=np.uint8)
+        ).astype(np.int64)
+        acc += bits * 2 - 1
+        n += 1
+    if n == 0:
+        return 0
+    return int(
+        np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0]
+    )
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter) if (a or b) else 0.0
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> List[int]:
+    """Winnowing-style document fingerprint: polynomial rolling hash over a
+    char window, keep hashes ≡ 0 (mod keep_mod)."""
+    if len(text) < window:
+        return [hash_u32(text)] if text else []
+    base = 257
+    mod = (1 << 31) - 1
+    pw = pow(base, window - 1, mod)
+    h = 0
+    out = []
+    for i, ch in enumerate(text):
+        if i >= window:
+            h = (h - ord(text[i - window]) * pw) % mod
+        h = (h * base + ord(ch)) % mod
+        if i >= window - 1 and h % keep_mod == 0:
+            out.append(h)
+    return out
+
+
+def hash_u32(text: str) -> int:
+    return struct.unpack("<I", hashlib.sha1(text.encode("utf-8")).digest()[:4])[0]
