@@ -11,8 +11,10 @@ from __future__ import annotations
 import re
 from typing import Iterator, List, Tuple
 
-# split after ./!/? (optionally followed by closing quotes/brackets) + spaces
-_SENT_RE = re.compile(r"(?<=[.!?])[\)\]\"']*\s+")
+# split after ./!/? (optionally followed by closing quotes/brackets) + spaces,
+# but only when the next sentence starts with a capital/digit/quote — avoids
+# splitting at abbreviation periods like "Acme Corp. acquired ..."
+_SENT_RE = re.compile(r"(?<=[.!?])[\)\]\"']*\s+(?=[A-Z0-9\"'(\[])")
 
 MAX_SENT_CHARS = 2000  # guard: one sentence row never exceeds this
 

@@ -1,0 +1,164 @@
+"""Entity linking: distributed blocking + canonicalization.
+
+The shuffle design (SURVEY.md §2.7): mention surfaces are pre-aggregated to
+unique (type, norm) rows with counts INSIDE map_batches (combiner) before any
+groupby, so the all-to-all exchange moves unique surfaces — not raw mentions.
+Blocks are minhash band keys over char shingles (+ the surface type); the
+per-block resolution is the same pure ``resolve_block`` the sequential oracle
+uses, so Ray and oracle agree exactly. Hot blocks are bounded: a block is
+keyed by a minhash band, so its size is the number of near-duplicate surfaces,
+not the number of mentions.
+
+The final surface→canonical mapping is tiny relative to the corpus (unique
+normalized surfaces); it is collected to the driver, chain-flattened, and
+BROADCAST via ``ray.put`` — read once per actor, never re-shipped per batch.
+At 10^12-page scale the same code path applies per type-partition; if unique
+surfaces outgrow driver memory the documented scale path is a key-partitioned
+(type, norm)-hash join of the mapping against mentions/triples instead of the
+broadcast (the mapping dataset is already keyed for it).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, Iterator, Tuple
+
+import pandas as pd
+import pyarrow as pa
+
+from ..core.linking import block_keys, normalize_surface, resolve_block
+from ..functions.hashing import node_id
+
+
+def surface_counts_batch(batch: pa.Table) -> pa.Table:
+    """Combiner: raw mentions → unique (type, norm, cnt) within the batch."""
+    counter: Counter = Counter()
+    for value, type_ in zip(
+        batch.column("value").to_pylist(), batch.column("type").to_pylist()
+    ):
+        counter[(type_, normalize_surface(value))] += 1
+    return pa.table(
+        {
+            "type": pa.array([t for t, _ in counter], type=pa.string()),
+            "norm": pa.array([n for _, n in counter], type=pa.string()),
+            "cnt": pa.array(list(counter.values()), type=pa.int64()),
+        }
+    )
+
+
+def explode_band_keys(batch: pa.Table) -> pa.Table:
+    """(type, norm, cnt) → one row per (type, band_key, norm, cnt)."""
+    types, bands, norms, cnts = [], [], [], []
+    for type_, norm, cnt in zip(
+        batch.column("type").to_pylist(),
+        batch.column("norm").to_pylist(),
+        batch.column("cnt").to_pylist(),
+    ):
+        for key in block_keys(norm):
+            types.append(type_)
+            bands.append(key)
+            norms.append(norm)
+            cnts.append(cnt)
+    return pa.table(
+        {
+            "type": pa.array(types, type=pa.string()),
+            "band": pa.array(bands, type=pa.string()),
+            "norm": pa.array(norms, type=pa.string()),
+            "cnt": pa.array(cnts, type=pa.int64()),
+        }
+    )
+
+
+def resolve_block_group(group: pd.DataFrame) -> pd.DataFrame:
+    """map_groups fn for groupby(type, band): resolve one block."""
+    surfaces = list(zip(group["norm"], group["cnt"]))
+    mapping = resolve_block(surfaces)
+    return pd.DataFrame(
+        {
+            "type": group["type"].iloc[0],
+            "norm": list(mapping.keys()),
+            "canonical": list(mapping.values()),
+        }
+    )
+
+
+def min_canonical_group(group: pd.DataFrame) -> pd.DataFrame:
+    """Merge per-block resolutions: min canonical per (type, norm) —
+    the same first-wins-over-sorted-blocks rule as the oracle."""
+    return pd.DataFrame(
+        {
+            "type": [group["type"].iloc[0]],
+            "norm": [group["norm"].iloc[0]],
+            "canonical": [group["canonical"].min()],
+        }
+    )
+
+
+def flatten_chains(mapping_df: pd.DataFrame) -> Dict[Tuple[str, str], str]:
+    """Driver-side: flatten a→b→c one step (matches oracle semantics).
+    Returns {(type, norm): canonical}."""
+    by_key = {
+        (t, n): c
+        for t, n, c in zip(
+            mapping_df["type"], mapping_df["norm"], mapping_df["canonical"]
+        )
+    }
+    return {
+        (t, n): by_key.get((t, c), c) for (t, n), c in by_key.items()
+    }
+
+
+class ApplyCanonicalToTriples:
+    """Actor-pool stage: broadcast mapping read once per actor from the
+    object store; rewrites subj/obj to canonical surfaces + surrogate ids."""
+
+    def __init__(self, mapping_ref):
+        import ray
+
+        self.mapping = ray.get(mapping_ref)  # {(type, norm): canonical}
+
+    def _canon(self, value: str, type_: str) -> str:
+        return self.mapping.get((type_, normalize_surface(value)),
+                                normalize_surface(value))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj_c, obj_c, subj_ids, obj_ids, edge_keys = [], [], [], [], []
+        for subj, st, obj, ot, pred in zip(
+            batch.column("subj").to_pylist(),
+            batch.column("subj_type").to_pylist(),
+            batch.column("obj").to_pylist(),
+            batch.column("obj_type").to_pylist(),
+            batch.column("pred").to_pylist(),
+        ):
+            sc = self._canon(subj, st)
+            oc = self._canon(obj, ot)
+            sid = node_id(sc, st)
+            oid = node_id(oc, ot)
+            subj_c.append(sc)
+            obj_c.append(oc)
+            subj_ids.append(sid)
+            obj_ids.append(oid)
+        batch = batch.append_column("subj_canonical", pa.array(subj_c, pa.string()))
+        batch = batch.append_column("obj_canonical", pa.array(obj_c, pa.string()))
+        batch = batch.append_column("subj_id", pa.array(subj_ids, pa.string()))
+        batch = batch.append_column("obj_id", pa.array(obj_ids, pa.string()))
+        return batch
+
+
+class ApplyCanonicalToMentions:
+    def __init__(self, mapping_ref):
+        import ray
+
+        self.mapping = ray.get(mapping_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        canon, ids = [], []
+        for value, type_ in zip(
+            batch.column("value").to_pylist(), batch.column("type").to_pylist()
+        ):
+            c = self.mapping.get((type_, normalize_surface(value)),
+                                 normalize_surface(value))
+            canon.append(c)
+            ids.append(node_id(c, type_))
+        batch = batch.append_column("canonical", pa.array(canon, pa.string()))
+        return batch.append_column("node_id", pa.array(ids, pa.string()))

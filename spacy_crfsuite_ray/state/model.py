@@ -1,0 +1,70 @@
+"""Default KG tagger model artifact.
+
+Trained once on the driver over the deterministic synthetic gold set (same
+vocabularies/templates as the pages fixture), saved as an npz, and loaded ONCE
+PER ACTOR in the tag stage's ``__init__`` — mirroring the reference's
+per-process model singletons (/root/reference/spacy_crfsuite/serve.py:38-60)
+as an actor-pool pattern. Training is deterministic, so the artifact is
+content-stable across runs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+from typing import Dict, List, Optional
+
+from ..core.crf import LinearChainCRF
+from ..core.extractor import CRFExtractor, gold_example_to_crf_tokens
+from ..core.tokenizer import RegexTokenizer
+
+_LOCK = threading.Lock()
+_CACHE: Dict[str, CRFExtractor] = {}
+
+DEFAULT_CONFIG = {"c1": 0.003, "c2": 0.03, "max_iter": 150}
+
+
+def artifact_dir() -> str:
+    d = os.environ.get(
+        "SCR_RAY_ARTIFACTS", os.path.join(tempfile.gettempdir(), "scr_ray_artifacts")
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def default_model_path() -> str:
+    return os.path.join(artifact_dir(), "kg_crf_v1.npz")
+
+
+def train_extractor(examples: List[Dict], config: Optional[Dict] = None) -> CRFExtractor:
+    tok = RegexTokenizer()
+    samples = [gold_example_to_crf_tokens(dict(e), tokenizer=tok) for e in examples]
+    ext = CRFExtractor(config or DEFAULT_CONFIG)
+    ext.train(samples)
+    return ext
+
+
+def ensure_default_model(path: Optional[str] = None) -> str:
+    """Train + save the default KG model if missing; returns the path."""
+    path = path or default_model_path()
+    with _LOCK:
+        if not os.path.exists(path):
+            from ..sources.pages import gold_training_examples
+
+            ext = train_extractor(gold_training_examples())
+            tmp = path + ".tmp.npz"
+            ext.ent_tagger.save(tmp)
+            os.replace(tmp, path)
+    return path
+
+
+def load_extractor(path: Optional[str] = None,
+                   config: Optional[Dict] = None) -> CRFExtractor:
+    """Load a CRFExtractor from an npz artifact (process-level cache)."""
+    path = path or ensure_default_model()
+    key = os.path.abspath(path)
+    with _LOCK:
+        if key not in _CACHE:
+            _CACHE[key] = CRFExtractor(config, ent_tagger=LinearChainCRF.load(path))
+        return _CACHE[key]
