@@ -1,0 +1,146 @@
+"""End-to-end Ray pipeline vs sequential oracle (FIXTURES.md F6/F7)."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from spacy_crfsuite_ray.core.html import extract_text
+from spacy_crfsuite_ray.sources.pages import generate_pages, page_files
+
+
+@pytest.fixture(scope="module")
+def fixture_pages(ray_session, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("kgfix"))
+    pages_dir, gold_path = generate_pages(60, base, rows_per_file=20)
+    return pages_dir, gold_path, base
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(fixture_pages):
+    from spacy_crfsuite_ray.pipelines.kg import run_kg_pipeline
+
+    pages_dir, gold_path, base = fixture_pages
+    out = os.path.join(base, "out")
+    res = run_kg_pipeline(page_files(pages_dir), out, shards=2,
+                          tag_concurrency=(1, 2))
+    return res, out
+
+
+def test_pages_fixture_schema_and_determinism(fixture_pages):
+    pages_dir, _, _ = fixture_pages
+    t = pq.read_table(page_files(pages_dir)[0])
+    assert t.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+    from spacy_crfsuite_ray.sources.pages import _page_rows
+
+    assert _page_rows(7)["url"] == _page_rows(7)["url"]
+    assert _page_rows(7)["html"] == _page_rows(7)["html"]
+
+
+def test_extracted_text_byte_identical_per_url(fixture_pages):
+    """The north_rule per-row invariant: extractor(html) == stored text."""
+    pages_dir, _, _ = fixture_pages
+    for f in page_files(pages_dir):
+        t = pq.read_table(f, columns=["html", "text"])
+        for html, text in zip(t.column("html").to_pylist(),
+                              t.column("text").to_pylist()):
+            assert extract_text(html) == text
+
+
+def test_ray_matches_oracle_exactly(fixture_pages, pipeline_out):
+    from spacy_crfsuite_ray.pipelines.oracle import run_oracle, triple_prf
+
+    pages_dir, gold_path, _ = fixture_pages
+    res, out = pipeline_out
+    ray_triples = pq.read_table(
+        os.path.join(res["triples_dir"], "shard=all")
+    ).to_pylist()
+    oracle = run_oracle(page_files(pages_dir))
+    prf = triple_prf(ray_triples, oracle["triples"],
+                     keys=("subj_canonical", "pred", "obj_canonical"))
+    assert prf["precision"] == 1.0 and prf["recall"] == 1.0
+
+    ray_edges = pq.read_table(os.path.join(res["edges_dir"], "shard=all"))
+    ray_nodes = pq.read_table(os.path.join(res["nodes_dir"], "shard=all"))
+    assert ray_edges.num_rows == len(oracle["edges"])
+    assert ray_nodes.num_rows == len(oracle["nodes"])
+    # node rows identical (set-wise — Ray block order is nondeterministic)
+    ray_node_set = {
+        (r["node_id"], r["canonical"], r["type"], r["n_mentions"])
+        for r in ray_nodes.to_pylist()
+    }
+    oracle_node_set = {
+        (n["node_id"], n["canonical"], n["type"], n["n_mentions"])
+        for n in oracle["nodes"]
+    }
+    assert ray_node_set == oracle_node_set
+
+
+def test_triples_meet_gold_pr_gate(fixture_pages, pipeline_out):
+    from spacy_crfsuite_ray.pipelines.oracle import triple_prf
+
+    _, gold_path, _ = fixture_pages
+    res, _ = pipeline_out
+    ray_triples = pq.read_table(
+        os.path.join(res["triples_dir"], "shard=all")
+    ).to_pylist()
+    gold = pq.read_table(gold_path).to_pylist()
+    prf = triple_prf(ray_triples, gold)
+    assert prf["precision"] >= 0.95
+    assert prf["recall"] >= 0.95
+
+
+def test_manifests_written_and_resume_skips(fixture_pages, pipeline_out):
+    from spacy_crfsuite_ray.pipelines.kg import run_phase1
+    from spacy_crfsuite_ray.stages.graph import manifest_valid, read_manifests
+
+    pages_dir, _, _ = fixture_pages
+    res, out = pipeline_out
+    entities_dir = os.path.join(out, "entities")
+    manifests = read_manifests(entities_dir)
+    assert len(manifests) == 2
+    for m in manifests:
+        assert m["rows_out"] > 0
+        assert m["input_refs"]
+        assert m["files"]
+        assert manifest_valid(entities_dir, m["partition_id"])
+    # resume: all shards skipped
+    stats = run_phase1(page_files(pages_dir), out, shards=2)
+    assert stats == {"shards_run": 0, "shards_skipped": 2,
+                     "entities_dir": entities_dir}
+    # corrupt one shard → only it re-runs
+    shard_dir = os.path.join(entities_dir, "shard=00000")
+    victim = next(
+        os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
+        if f.endswith(".parquet")
+    )
+    os.remove(victim)
+    assert not manifest_valid(entities_dir, "00000")
+    shutil.rmtree(shard_dir)
+    stats = run_phase1(page_files(pages_dir), out, shards=2,
+                       tag_concurrency=(1, 2))
+    assert stats["shards_run"] == 1 and stats["shards_skipped"] == 1
+
+
+def test_lang_filter_drops_non_english(fixture_pages, pipeline_out):
+    res, out = pipeline_out
+    ent_files = []
+    entities_dir = os.path.join(out, "entities")
+    for shard in os.listdir(entities_dir):
+        if shard.startswith("shard="):
+            d = os.path.join(entities_dir, shard)
+            ent_files += [os.path.join(d, f) for f in os.listdir(d)
+                          if f.endswith(".parquet")]
+    urls = set()
+    for f in ent_files:
+        urls.update(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+    pages_dir, _, _ = fixture_pages
+    non_en = set()
+    for f in page_files(pages_dir):
+        t = pq.read_table(f, columns=["url", "lang"])
+        non_en.update(
+            u for u, l in zip(t.column("url").to_pylist(),
+                              t.column("lang").to_pylist()) if l != "en"
+        )
+    assert not (urls & non_en)
