@@ -1,44 +1,196 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on a deterministic synthetic pages
+fixture derived from sf0.001 scale; ``queries()`` exposes one callable per
+implemented operator/pipeline (SURVEY.md §2 + the training-data ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (same column names, exact integer-scaled aggregate semantics).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+TOKEN_SQL = r"'\w+|[^\w\s]'"
+
+
+# --------------------------------------------------------------------- pages
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def _n_pages(sf_dir: str) -> int:
+    return max(120, int(60000 * _sf_of(sf_dir)))
+
+
+def _pages_fixture(sf_dir: str):
+    from spacy_crfsuite_ray.sources.pages import generate_pages, page_files
+
+    n = _n_pages(sf_dir)
+    base = f"/tmp/scr_pages_n{n}"
+    pages_dir, gold_path = generate_pages(n, base)
+    return page_files(pages_dir), gold_path, base
+
+
+def _kg_output(sf_dir: str) -> str:
+    """Run (or resume) the KG pipeline for this scale; returns the out dir."""
+    from spacy_crfsuite_ray.pipelines.kg import run_kg_pipeline
+
+    files, _, base = _pages_fixture(sf_dir)
+    out = os.path.join(base, "out")
+    run_kg_pipeline(files, out, shards=min(4, len(files)))
+    return out
+
+
+def _read_out(out: str, name: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(out, name, "shard=all"))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; returns the canonical triples."""
+    out = _kg_output("/root/testdata/sf0.001")
+    return _read_out(out, "triples")
+
+
+# -------------------------------------------------------------------- queries
+
+def _kg_triples(sf_dir: str):
+    return _read_out(_kg_output(sf_dir), "triples").drop_columns(["confidence"])
+
+
+def _kg_nodes(sf_dir: str):
+    return _read_out(_kg_output(sf_dir), "nodes")
+
+
+def _kg_edges(sf_dir: str):
+    return _read_out(_kg_output(sf_dir), "edges").drop_columns(["confidence"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from spacy_crfsuite_ray.ops import ann, dedup, multimodal, relational, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- KG construction pipeline (pages fixture; non-SQL → rows-only)
+        "kg_triples": _kg_triples,
+        "kg_nodes": _kg_nodes,
+        "kg_edges": _kg_edges,
+        # --- text analysis over documents
+        "doc_stats": text.doc_stats,
+        "lang_count": text.lang_count,
+        "token_count_by_source": text.token_count_by_source,
+        "quality_filter": text.quality_filter,
+        "doc_fingerprint": text.doc_fingerprint,
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        # --- dedup family
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "simhash_docs": dedup.simhash_docs,
+        "simhash_dedup_pairs": dedup.simhash_dedup_pairs,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # --- similarity search
+        "ann_topk": ann.ann_topk,
+        "ann_lsh": ann.ann_lsh,
+        # --- multimodal plumbing (deterministic fake codec)
+        "media_features": lambda sf_dir: multimodal.media_features(sf_dir)
+        .drop_columns(["thumb"]),
+        # --- relational primitives showcase
+        "lineitem_agg": relational.lineitem_agg,
+        "segment_revenue": relational.segment_revenue,
+        "top_parts": relational.top_parts,
+        "events_daily": relational.events_daily,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, {TOKEN_SQL})) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digit
+            FROM documents
+        """,
+        "lang_count": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "token_count_by_source": f"""
+            SELECT source,
+                   sum(len(regexp_extract_all(text, {TOKEN_SQL}))) AS total_tokens
+            FROM documents GROUP BY source
+        """,
+        "quality_filter": f"""
+            SELECT doc_id, n_chars, n_tokens FROM (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, {TOKEN_SQL})) AS n_tokens
+                FROM documents)
+            WHERE n_chars >= 150 AND n_chars <= 1000 AND n_tokens >= 30
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+            FROM documents GROUP BY text
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.40
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 8),
+            s AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe,
+                           CAST(e.embedding AS DOUBLE[])) AS c
+                FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c DESC, neighbor_id) AS rn
+                FROM s)
+            WHERE rn <= 5
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c2,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                        AS BIGINT)) AS sum_revenue_c4,
+                   sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sum_disc_c2,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_revenue": """
+            SELECT c.c_mktsegment,
+                   sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_c2,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "top_parts": """
+            SELECT p_partkey, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+        """,
+        "events_daily": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_value_c4,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        """,
+    }

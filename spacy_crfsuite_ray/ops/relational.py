@@ -1,0 +1,206 @@
+"""Relational showcase operators over the TPC-H-ish tables — the engine's
+generic groupby/join/sort/window primitives with clean SQL oracles.
+
+Patterns demonstrated (SURVEY.md §2.6-2.8 Ray mappings):
+- pre-aggregated groupby (combine inside map_batches, then a tiny shuffle)
+- broadcast hash join (small side via ray.put, probe inside map_batches)
+- global top-k via sort + limit
+- tumbling-window time aggregate (truncate-to-window key + groupby)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+
+def _to_scaled_int(col, scale: int):
+    """floor(x*scale + 0.5) as int64 — exact, order-independent summation;
+    mirrored verbatim in the DuckDB oracles."""
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(col, float(scale)), 0.5)), pa.int64()
+    )
+
+
+def lineitem_agg(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q1-style: per (l_returnflag, l_linestatus) sums/avg/count.
+    Partial aggregation inside map_batches; the shuffle moves a handful of
+    rows per batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # integer-cents arithmetic (floor(x*scale + 0.5)) so partial sums are
+        # EXACT and independent of accumulation order — the SQL oracle uses
+        # the identical per-row expression
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": _to_scaled_int(batch.column("l_quantity"), 100),
+                "revenue": _to_scaled_int(disc_price, 10000),
+                "disc": _to_scaled_int(batch.column("l_discount"), 100),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum"), ("revenue", "sum"), ("disc", "sum"),
+                        ("one", "sum")])
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "qty", "revenue", "disc", "one"]
+            )
+        )
+
+    ds = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["qty", "revenue", "disc", "one"])
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "revenue", "disc", "n"]
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty_c2": batch.column("qty"),
+                "sum_revenue_c4": batch.column("revenue"),
+                "sum_disc_c2": batch.column("disc"),
+                "n_rows": batch.column("n"),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow")
+
+
+def segment_revenue(sf_dir: str) -> "rd.Dataset":
+    """orders ⋈ customer via BROADCAST hash join (customer is the small side,
+    shipped once with ray.put, probed per batch — no shuffle join)."""
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_of = dict(
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist())
+    )
+    seg_ref = ray.put(seg_of)
+
+    class Probe:
+        def __init__(self, ref):
+            self.seg_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [
+                self.seg_of.get(k)
+                for k in batch.column("o_custkey").to_pylist()
+            ]
+            t = pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "price": _to_scaled_int(batch.column("o_totalprice"), 100),
+                    "one": pa.array(
+                        np.ones(batch.num_rows, dtype=np.int64)
+                    ),
+                }
+            )
+            return (
+                t.group_by("c_mktsegment")
+                .aggregate([("price", "sum"), ("one", "sum")])
+                .rename_columns(["c_mktsegment", "price", "one"])
+            )
+
+    ds = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(
+            Probe,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={"ref": seg_ref},
+            concurrency=(1, 8),
+        )
+        .groupby("c_mktsegment")
+        .sum(["price", "one"])
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["c_mktsegment", "price", "n"])
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "revenue_c2": batch.column("price"),
+                "n_orders": batch.column("n"),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow")
+
+
+def top_parts(sf_dir: str, k: int = 10) -> "rd.Dataset":
+    """Global top-k by retail price (sort desc + limit; tie-break p_partkey)."""
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
+        )
+        .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def events_daily(sf_dir: str) -> "rd.Dataset":
+    """Tumbling 1-day window per event_type: count + sum(value)."""
+
+    def day_key(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": day,
+                "value": _to_scaled_int(batch.column("value"), 10000),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["event_type", "day"])
+            .aggregate([("value", "sum"), ("one", "sum")])
+            .rename_columns(["event_type", "day", "value", "one"])
+        )
+
+    ds = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        .map_batches(day_key, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .sum(["value", "one"])
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["event_type", "day", "value", "n"])
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": batch.column("day"),
+                "sum_value_c4": batch.column("value"),
+                "n_events": batch.column("n"),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow")

@@ -101,6 +101,9 @@ def run_phase1(
             concurrency=tag_concurrency,
         )
         shard_dir = os.path.join(entities_dir, f"shard={pid}")
+        import shutil
+
+        shutil.rmtree(shard_dir, ignore_errors=True)  # stale partial output
         ds.write_parquet(shard_dir)
         rows = sum(
             pq.read_metadata(os.path.join(shard_dir, f)).num_rows
@@ -152,9 +155,26 @@ def build_canonical_mapping(mentions_ds: "rd.Dataset"):
     return flatten_chains(mapping_df), surf
 
 
-def run_phase2(out_dir: str) -> Dict:
-    """entities → triples/mentions → linking → nodes/edges parquet."""
+def run_phase2(out_dir: str, force: bool = False) -> Dict:
+    """entities → triples/mentions → linking → nodes/edges parquet.
+    Idempotent: valid manifests short-circuit; otherwise stale output is
+    wiped before writing (write_parquet appends by design)."""
+    import shutil
+
     files = _entity_files(out_dir)
+    dirs = {
+        name: os.path.join(out_dir, name) for name in ("triples", "edges", "nodes")
+    }
+    if not force and all(manifest_valid(d, "all") for d in dirs.values()):
+        return {
+            "triples_dir": dirs["triples"],
+            "edges_dir": dirs["edges"],
+            "nodes_dir": dirs["nodes"],
+            "n_unique_surfaces": None,
+            "skipped": True,
+        }
+    for d in dirs.values():
+        shutil.rmtree(os.path.join(d, "shard=all"), ignore_errors=True)
     t0 = time.time()
 
     ent_ds = rd.read_parquet(files)
