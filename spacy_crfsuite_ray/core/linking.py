@@ -80,21 +80,20 @@ def resolve_block(surfaces: Iterable[Tuple[str, int]]) -> Dict[str, str]:
     return mapping
 
 
-def link_mentions(mentions: Iterable[Tuple[str, str]]) -> Dict[Tuple[str, str], str]:
-    """Sequential oracle for the distributed linker: (value, type) mentions →
-    {(value, type): canonical_normalized_surface}. Blocking per type."""
+def mapping_from_surfaces(
+    surfaces: Iterable[Tuple[str, str, int]]
+) -> Dict[Tuple[str, str], str]:
+    """(type, norm, cnt) rows → {(type, norm): canonical}. The single-node
+    reference implementation of the linker; the distributed version (banded
+    groupby in pipelines/kg.py) reproduces it exactly. Block assignment: each
+    surface joins all its band-key blocks; per-block resolutions merge
+    first-wins over sorted block keys; canonical chains flatten one step."""
     by_type: Dict[str, Counter] = {}
-    originals: Dict[str, Dict[str, List[str]]] = {}
-    for value, type_ in mentions:
-        norm = normalize_surface(value)
-        by_type.setdefault(type_, Counter())[norm] += 1
-        originals.setdefault(type_, {}).setdefault(norm, []).append(value)
+    for type_, norm, cnt in surfaces:
+        by_type.setdefault(type_, Counter())[norm] += cnt
 
     out: Dict[Tuple[str, str], str] = {}
     for type_, counter in by_type.items():
-        # block assignment: each surface joins all its band-key blocks; the
-        # final mapping merges per-block resolutions (first-wins over sorted
-        # block keys, deterministic)
         blocks: Dict[str, List[Tuple[str, int]]] = {}
         for norm, cnt in counter.items():
             for key in block_keys(norm):
@@ -105,10 +104,27 @@ def link_mentions(mentions: Iterable[Tuple[str, str]]) -> Dict[Tuple[str, str], 
                 prev = mapping.get(surface)
                 if prev is None or canonical < prev:
                     mapping[surface] = canonical
-        # canonical chains (a→b while b→c) are flattened one step
         for surface, canonical in list(mapping.items()):
             mapping[surface] = mapping.get(canonical, canonical)
-        for norm, cnt in counter.items():
-            for orig in originals[type_][norm]:
-                out[(orig, type_)] = mapping.get(norm, norm)
+        for norm in counter:
+            out[(type_, norm)] = mapping.get(norm, norm)
+    return out
+
+
+def link_mentions(mentions: Iterable[Tuple[str, str]]) -> Dict[Tuple[str, str], str]:
+    """Sequential oracle for the distributed linker: (value, type) mentions →
+    {(value, type): canonical_normalized_surface}. Blocking per type."""
+    counter: Counter = Counter()
+    originals: Dict[Tuple[str, str], List[str]] = {}
+    for value, type_ in mentions:
+        norm = normalize_surface(value)
+        counter[(type_, norm)] += 1
+        originals.setdefault((type_, norm), []).append(value)
+    mapping = mapping_from_surfaces(
+        (t, n, c) for (t, n), c in counter.items()
+    )
+    out: Dict[Tuple[str, str], str] = {}
+    for (type_, norm), origs in originals.items():
+        for orig in origs:
+            out[(orig, type_)] = mapping[(type_, norm)]
     return out

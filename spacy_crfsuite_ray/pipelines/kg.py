@@ -3,25 +3,31 @@
 Two phases, checkpointed between them:
 
 Phase 1 (per input shard, resumable): pages parquet → extract_text →
-  lang filter → sentence explode → CRF tag (ACTOR POOL) → write
-  ``entities/shard=N/`` parquet + manifest. The tag stage dominates cost, so
-  its output is the checkpoint: on resume, shards with a valid manifest are
-  skipped.
+  lang filter → sentence explode → CRF tag (fast batched path, per-worker
+  model singleton; actor pool available for heavy models) → derive
+  union-output rows for triples ("t") and batch-combined surface counts
+  ("s") alongside the tagged sentences ("e") — ONE write per shard; consumers
+  read back with parquet filter pushdown on ``kind``. Tagging dominates cost,
+  so this output is the checkpoint: on resume, manifested shards are skipped.
 
-Phase 2 (global, cheap relative to phase 1): read entities → relation
-  extraction → mention explosion → linking (pre-aggregated surfaces →
-  minhash-band groupby shuffle → broadcast mapping) → canonical triples →
-  nodes/edges with deterministic ids → partitioned parquet + manifests.
+Phase 2 (global, cheap by construction): every input is ALREADY reduced —
+  surface counts are unique (type, norm) rows, raw triples are ~2 orders of
+  magnitude smaller than sentences. linking (minhash-band groupby over unique
+  surfaces → broadcast mapping) → canonical triples → nodes/edges with
+  deterministic content-hash ids → partitioned parquet + manifests.
 
 Scale notes: the only all-to-all exchanges are the (type, norm) surface
-groupby (over UNIQUE surfaces, pre-aggregated in map_batches), the band-key
-groupby (unique surfaces × 8 bands), and the node/edge dedup groupbys (over
-already-deduplicated keys). Raw sentence/mention traffic never shuffles.
+groupby (over UNIQUE surfaces, pre-aggregated per batch in phase 1), the
+band-key groupby (unique surfaces × 8 bands), and the node/edge dedup
+groupbys (over already-combined keys). Raw sentence/mention traffic never
+shuffles, and phase 2's volume is independent of page count except for the
+triples themselves.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from typing import Dict, List, Optional
 
@@ -33,34 +39,36 @@ import ray.data as rd
 
 from ..stages.extract import explode_sentences, extract_text_batch, filter_lang
 from ..stages.graph import (
-    EDGE_SCHEMA,
-    NODE_SCHEMA,
-    edge_group_to_row,
     edge_key_batch,
+    edge_observation_combiner,
     manifest_valid,
-    node_group_to_row,
     write_manifest,
 )
 from ..stages.link import (
     ApplyCanonicalToTriples,
     explode_band_keys,
     flatten_chains,
-    min_canonical_group,
     resolve_block_group,
-    surface_counts_batch,
 )
-from ..stages.relations import mentions_batch, relations_batch
-from ..stages.tag import CRFTagStage
+from ..stages.relations import derive_union_batch, relations_batch
+from ..stages.tag import CRFTagStage, tag_batch
 from ..state.model import ensure_default_model
 from ..functions.hashing import node_id as _node_id
 
-TAG_BATCH_SIZE = 256
-TAG_CONCURRENCY = None  # default: let Ray size the task pool
+TAG_BATCH_SIZE = 128  # input pages per UDF call (stage is fused with extract)
+TAG_CONCURRENCY = None  # default: fixed pool sized to cluster CPUs - 2
+PAGES_PER_BLOCK = 125  # read granularity: enough tasks to keep the pool busy
+
+_PHASE1_DIRS = ("tagged",)
 
 
 def _shard_groups(files: List[str], shards: int) -> List[List[str]]:
     shards = max(1, min(shards, len(files)))
     return [files[i::shards] for i in range(shards)]
+
+
+def _cpus() -> int:
+    return int(ray.cluster_resources().get("CPU", 8))
 
 
 def run_phase1(
@@ -71,60 +79,69 @@ def run_phase1(
     tag_concurrency=TAG_CONCURRENCY,
     lang: str = "en",
 ) -> Dict:
-    """pages → tagged sentence entities, checkpointed per shard."""
+    """pages → one kind-tagged union output per shard (tagged sentences +
+    raw triples + surface-count combiner rows), ONE execution per shard."""
     model_path = model_path or ensure_default_model()
-    entities_dir = os.path.join(out_dir, "entities")
-    os.makedirs(entities_dir, exist_ok=True)
+    tagged_dir = os.path.join(out_dir, "tagged")
+    os.makedirs(tagged_dir, exist_ok=True)
     stats = {"shards_run": 0, "shards_skipped": 0}
     for shard_id, group in enumerate(_shard_groups(page_files, shards)):
         pid = f"{shard_id:05d}"
-        if manifest_valid(entities_dir, pid):
+        if manifest_valid(tagged_dir, pid):
             stats["shards_skipped"] += 1
             continue
         t0 = time.time()
-        ds = rd.read_parquet(group, columns=["url", "html", "lang"])
+        total_rows = sum(pq.read_metadata(f).num_rows for f in group)
+        n_blocks = max(len(group), total_rows // PAGES_PER_BLOCK)
+        ds = rd.read_parquet(
+            group, columns=["url", "html", "lang"],
+            override_num_blocks=n_blocks,
+        )
         ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
         ds = ds.map_batches(
             lambda b: filter_lang(b, lang), batch_format="pyarrow"
         )
         ds = ds.map_batches(explode_sentences, batch_format="pyarrow")
         if tag_concurrency is None:
-            # autoscaling actor pool sized to the cluster CPUs
-            n_cpus = int(ray.cluster_resources().get("CPU", 8))
-            tag_concurrency = (1, max(2, n_cpus))
-        ds = ds.map_batches(
-            CRFTagStage,
-            batch_format="pyarrow",
-            batch_size=TAG_BATCH_SIZE,
-            fn_constructor_kwargs={"model_path": model_path},
-            num_cpus=1,
-            concurrency=tag_concurrency,
-        )
-        shard_dir = os.path.join(entities_dir, f"shard={pid}")
-        import shutil
-
+            # default: task-based tagging with a per-worker model singleton
+            # (stages/tag.py tag_batch) — warm task workers, no actor spawn.
+            # Pass an int/tuple to pin an actor pool instead (heavy models).
+            ds = ds.map_batches(
+                tag_batch,
+                batch_format="pyarrow",
+                batch_size=TAG_BATCH_SIZE,
+                fn_kwargs={"model_path": model_path},
+            )
+        else:
+            ds = ds.map_batches(
+                CRFTagStage,
+                batch_format="pyarrow",
+                batch_size=TAG_BATCH_SIZE,
+                fn_constructor_kwargs={"model_path": model_path},
+                num_cpus=1,
+                concurrency=tag_concurrency,
+            )
+        ds = ds.map_batches(derive_union_batch, batch_format="pyarrow")
+        shard_dir = os.path.join(tagged_dir, f"shard={pid}")
         shutil.rmtree(shard_dir, ignore_errors=True)  # stale partial output
         ds.write_parquet(shard_dir)
         rows = sum(
             pq.read_metadata(os.path.join(shard_dir, f)).num_rows
-            for f in os.listdir(shard_dir)
-            if f.endswith(".parquet")
+            for f in os.listdir(shard_dir) if f.endswith(".parquet")
         )
-        write_manifest(
-            entities_dir, pid, input_refs=group, rows_out=rows,
-            wall_s=time.time() - t0,
-        )
+        write_manifest(tagged_dir, pid, input_refs=group, rows_out=rows,
+                       wall_s=time.time() - t0)
         stats["shards_run"] += 1
-    stats["entities_dir"] = entities_dir
+    stats["tagged_dir"] = tagged_dir
     return stats
 
 
-def _entity_files(out_dir: str) -> List[str]:
-    entities_dir = os.path.join(out_dir, "entities")
+def _shard_files(out_dir: str, name: str) -> List[str]:
+    root = os.path.join(out_dir, name)
     files = []
-    for shard in sorted(os.listdir(entities_dir)):
+    for shard in sorted(os.listdir(root)):
         if shard.startswith("shard="):
-            d = os.path.join(entities_dir, shard)
+            d = os.path.join(root, shard)
             files.extend(
                 os.path.join(d, f) for f in sorted(os.listdir(d))
                 if f.endswith(".parquet")
@@ -132,36 +149,50 @@ def _entity_files(out_dir: str) -> List[str]:
     return files
 
 
-def build_canonical_mapping(mentions_ds: "rd.Dataset"):
-    """mentions → {(type, norm): canonical} via the banded-LSH shuffle.
-    Returns (mapping_dict, surface_counts_dataset)."""
-    surf = (
-        mentions_ds.map_batches(surface_counts_batch, batch_format="pyarrow")
-        .groupby(["type", "norm"])
-        .sum("cnt")
-    )
-    surf = surf.map_batches(
-        lambda b: b.rename_columns(["type", "norm", "cnt"]),
-        batch_format="pyarrow",
-    ).materialize()
+# Below this many surface-count rows, phase 2's linking/nodes run on the
+# driver (they fit trivially); above it, the distributed banded-groupby path
+# runs. Both produce identical mappings (tests/test_pipeline.py).
+DRIVER_MERGE_MAX_ROWS = int(os.environ.get("SCR_DRIVER_MERGE_MAX_ROWS", 2_000_000))
+
+
+def build_canonical_mapping(surf: "rd.Dataset"):
+    """unique surfaces → {(type, norm): canonical} via the banded-LSH
+    shuffle + driver-side chain flattening (the at-scale path)."""
     mapping_df = (
         surf.map_batches(explode_band_keys, batch_format="pyarrow")
         .groupby(["type", "band"])
         .map_groups(resolve_block_group, batch_format="pandas")
         .groupby(["type", "norm"])
-        .map_groups(min_canonical_group, batch_format="pandas")
+        .min("canonical")  # first-wins-over-sorted-blocks, vectorized
+        .map_batches(
+            lambda b: b.rename_columns(["type", "norm", "canonical"]),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
-    return flatten_chains(mapping_df), surf
+    return flatten_chains(mapping_df)
+
+
+def make_canonical_apply(mapping_ref):
+    """Task-based canonical rewrite (no actor spawn — the broadcast mapping
+    is fetched from the object store once per worker and memoized)."""
+    cache: dict = {}
+
+    def apply(batch: pa.Table) -> pa.Table:
+        from ..stages.link import ApplyCanonicalToTriples
+
+        stage = cache.get("stage")
+        if stage is None:
+            stage = ApplyCanonicalToTriples(mapping_ref)
+            cache["stage"] = stage
+        return stage(batch)
+
+    return apply
 
 
 def run_phase2(out_dir: str, force: bool = False) -> Dict:
-    """entities → triples/mentions → linking → nodes/edges parquet.
-    Idempotent: valid manifests short-circuit; otherwise stale output is
-    wiped before writing (write_parquet appends by design)."""
-    import shutil
-
-    files = _entity_files(out_dir)
+    """raw triples + surface counts → linking → canonical triples,
+    nodes, edges. Idempotent: valid manifests short-circuit."""
     dirs = {
         name: os.path.join(out_dir, name) for name in ("triples", "edges", "nodes")
     }
@@ -170,88 +201,215 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
             "triples_dir": dirs["triples"],
             "edges_dir": dirs["edges"],
             "nodes_dir": dirs["nodes"],
-            "n_unique_surfaces": None,
             "skipped": True,
         }
     for d in dirs.values():
         shutil.rmtree(os.path.join(d, "shard=all"), ignore_errors=True)
     t0 = time.time()
 
-    ent_ds = rd.read_parquet(files)
-    triples = ent_ds.map_batches(relations_batch, batch_format="pyarrow")
-    mentions = ent_ds.map_batches(mentions_batch, batch_format="pyarrow")
+    # --- surfaces → canonical mapping. Surface counts are pre-aggregated per
+    # batch in phase 1 ("s" rows of the union output), so their total volume
+    # ~ unique surfaces × batches; below the threshold the merge + linking
+    # runs on the driver (no Ray executions), above it the distributed
+    # banded path runs.
+    import pyarrow.dataset as pds
 
-    mapping, surf = build_canonical_mapping(mentions)
+    tagged_files = _shard_files(out_dir, "tagged")
+    total_rows = sum(pq.read_metadata(f).num_rows for f in tagged_files)
+    small = total_rows <= DRIVER_MERGE_MAX_ROWS
+    surf_cols = ["type", "norm", "cnt"]
+    kind_is = lambda k: pds.field("kind") == k  # noqa: E731
+    if small:
+        surf_tbl = (
+            pa.concat_tables(
+                pq.read_table(f, columns=surf_cols,
+                              filters=kind_is("s"))
+                for f in tagged_files
+            )
+            .group_by(["type", "norm"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["type", "norm", "cnt"])
+        )
+        from ..core.linking import mapping_from_surfaces
+
+        mapping = mapping_from_surfaces(
+            zip(
+                surf_tbl.column("type").to_pylist(),
+                surf_tbl.column("norm").to_pylist(),
+                surf_tbl.column("cnt").to_pylist(),
+            )
+        )
+    else:
+        surf_ds = (
+            rd.read_parquet(tagged_files, columns=surf_cols,
+                            filter=kind_is("s"))
+            .groupby(["type", "norm"])
+            .sum("cnt")
+            .map_batches(
+                lambda b: b.rename_columns(["type", "norm", "cnt"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        mapping = build_canonical_mapping(surf_ds)
     mapping_ref = ray.put(mapping)
 
-    canonical_triples = triples.map_batches(
-        ApplyCanonicalToTriples,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"mapping_ref": mapping_ref},
-        concurrency=(1, 8),
-    )
-
-    # --- write canonical triples (shard=all)
-    triples_dir = os.path.join(out_dir, "triples")
-    canonical_triples.write_parquet(os.path.join(triples_dir, "shard=all"))
-    write_manifest(triples_dir, "all", input_refs=files,
-                   rows_out=-1, wall_s=time.time() - t0)
-
-    # --- edges: dedup by deterministic edge_id
-    t1 = time.time()
-    edges = (
+    # --- canonical triples (task-based rewrite, no actor spawn)
+    canonical_triples = (
         rd.read_parquet(
-            os.path.join(triples_dir, "shard=all"),
-            columns=["subj_id", "pred", "obj_id", "url", "confidence"],
+            tagged_files,
+            columns=["subj", "pred", "obj", "subj_type", "obj_type", "url",
+                     "confidence"],
+            filter=kind_is("t"),
         )
-        .map_batches(edge_key_batch, batch_format="pyarrow")
-        .groupby("edge_id")
-        .map_groups(edge_group_to_row, batch_format="pandas")
+        .map_batches(make_canonical_apply(mapping_ref), batch_format="pyarrow")
+        .materialize()  # consumed twice (write + edges)
     )
-    edges_dir = os.path.join(out_dir, "edges")
-    edges.write_parquet(os.path.join(edges_dir, "shard=all"))
-    write_manifest(edges_dir, "all", input_refs=[triples_dir],
+    canonical_triples.write_parquet(os.path.join(dirs["triples"], "shard=all"))
+    write_manifest(dirs["triples"], "all",
+                   input_refs=[os.path.join(out_dir, "tagged")],
+                   rows_out=canonical_triples.count(),
+                   wall_s=time.time() - t0)
+
+    # --- edges: map side runs distributed (edge ids + per-batch (edge, url)
+    # dedup combiner); the final dedup/count is driver-side pyarrow group_by
+    # below the threshold (observations ≈ triples — tens of MB), else the
+    # distributed two-stage groupby.
+    t1 = time.time()
+    obs = canonical_triples.select_columns(
+        ["subj_id", "pred", "obj_id", "url", "confidence"]
+    ).map_batches(edge_key_batch, batch_format="pyarrow") \
+     .map_batches(edge_observation_combiner, batch_format="pyarrow")
+
+    n_triples = canonical_triples.count()
+    if n_triples <= DRIVER_MERGE_MAX_ROWS:
+        obs_tbl = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in obs.iter_batches(batch_format="pyarrow")
+        )
+        dedup = (
+            obs_tbl.group_by(
+                ["edge_id", "subj_id", "pred", "obj_id", "url"]
+            )
+            .aggregate([("confidence", "max")])
+        )
+        edges_tbl = (
+            dedup.group_by(["edge_id", "subj_id", "pred", "obj_id"])
+            .aggregate([("url", "count"), ("confidence_max", "max")])
+            .rename_columns(
+                ["edge_id", "subj_id", "pred", "obj_id", "n_sources",
+                 "confidence"]
+            )
+        )
+        edges_shard = os.path.join(dirs["edges"], "shard=all")
+        os.makedirs(edges_shard, exist_ok=True)
+        pq.write_table(edges_tbl, os.path.join(edges_shard, "part-0.parquet"))
+    else:
+        from ray.data.aggregate import Max, Sum
+
+        def partial_edge_counts(batch: pa.Table) -> pa.Table:
+            return (
+                batch.group_by(["edge_id", "subj_id", "pred", "obj_id"])
+                .aggregate([("url", "count"), ("confidence", "max")])
+                .rename_columns(
+                    ["edge_id", "subj_id", "pred", "obj_id", "n_partial",
+                     "confidence"]
+                )
+            )
+
+        edges = (
+            obs.groupby(["edge_id", "subj_id", "pred", "obj_id", "url"])
+            .max("confidence")
+            .map_batches(
+                lambda b: b.rename_columns(
+                    ["edge_id", "subj_id", "pred", "obj_id", "url",
+                     "confidence"]
+                ),
+                batch_format="pyarrow",
+            )
+            .map_batches(partial_edge_counts, batch_format="pyarrow")
+            .groupby(["edge_id", "subj_id", "pred", "obj_id"])
+            .aggregate(Sum("n_partial"), Max("confidence"))
+            .map_batches(
+                lambda b: b.rename_columns(
+                    ["edge_id", "subj_id", "pred", "obj_id", "n_sources",
+                     "confidence"]
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        edges.write_parquet(os.path.join(dirs["edges"], "shard=all"))
+    write_manifest(dirs["edges"], "all",
+                   input_refs=[dirs["triples"]],
                    rows_out=-1, wall_s=time.time() - t1)
 
     # --- nodes: from unique surfaces + mapping (no second mention pass)
     t2 = time.time()
+    if small:
+        from collections import Counter
 
-    def node_rows(batch: pa.Table) -> pa.Table:
-        ids, canons, types, cnts = [], [], [], []
+        node_counts: Counter = Counter()
         for type_, norm, cnt in zip(
-            batch.column("type").to_pylist(),
-            batch.column("norm").to_pylist(),
-            batch.column("cnt").to_pylist(),
+            surf_tbl.column("type").to_pylist(),
+            surf_tbl.column("norm").to_pylist(),
+            surf_tbl.column("cnt").to_pylist(),
         ):
             canon = mapping.get((type_, norm), norm)
-            ids.append(_node_id(canon, type_))
-            canons.append(canon)
-            types.append(type_)
-            cnts.append(cnt)
-        return pa.table(
+            node_counts[(_node_id(canon, type_), canon, type_)] += cnt
+        nodes_tbl = pa.table(
             {
-                "node_id": pa.array(ids, pa.string()),
-                "canonical": pa.array(canons, pa.string()),
-                "type": pa.array(types, pa.string()),
-                "cnt": pa.array(cnts, pa.int64()),
+                "node_id": pa.array([k[0] for k in node_counts], pa.string()),
+                "canonical": pa.array([k[1] for k in node_counts], pa.string()),
+                "type": pa.array([k[2] for k in node_counts], pa.string()),
+                "n_mentions": pa.array(list(node_counts.values()), pa.int64()),
             }
         )
+        nodes_shard = os.path.join(dirs["nodes"], "shard=all")
+        os.makedirs(nodes_shard, exist_ok=True)
+        pq.write_table(nodes_tbl, os.path.join(nodes_shard, "part-0.parquet"))
+    else:
+        def node_rows(batch: pa.Table) -> pa.Table:
+            ids, canons, types, cnts = [], [], [], []
+            for type_, norm, cnt in zip(
+                batch.column("type").to_pylist(),
+                batch.column("norm").to_pylist(),
+                batch.column("cnt").to_pylist(),
+            ):
+                canon = mapping.get((type_, norm), norm)
+                ids.append(_node_id(canon, type_))
+                canons.append(canon)
+                types.append(type_)
+                cnts.append(cnt)
+            return pa.table(
+                {
+                    "node_id": pa.array(ids, pa.string()),
+                    "canonical": pa.array(canons, pa.string()),
+                    "type": pa.array(types, pa.string()),
+                    "cnt": pa.array(cnts, pa.int64()),
+                }
+            )
 
-    nodes = (
-        surf.map_batches(node_rows, batch_format="pyarrow")
-        .groupby("node_id")
-        .map_groups(node_group_to_row, batch_format="pandas")
-    )
-    nodes_dir = os.path.join(out_dir, "nodes")
-    nodes.write_parquet(os.path.join(nodes_dir, "shard=all"))
-    write_manifest(nodes_dir, "all", input_refs=[os.path.join(out_dir, "entities")],
+        nodes = (
+            surf_ds.map_batches(node_rows, batch_format="pyarrow")
+            .groupby(["node_id", "canonical", "type"])
+            .sum("cnt")
+            .map_batches(
+                lambda b: b.rename_columns(
+                    ["node_id", "canonical", "type", "n_mentions"]
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        nodes.write_parquet(os.path.join(dirs["nodes"], "shard=all"))
+    write_manifest(dirs["nodes"], "all",
+                   input_refs=[os.path.join(out_dir, "tagged")],
                    rows_out=-1, wall_s=time.time() - t2)
 
     return {
-        "triples_dir": triples_dir,
-        "edges_dir": edges_dir,
-        "nodes_dir": nodes_dir,
-        "n_unique_surfaces": surf.count(),
+        "triples_dir": dirs["triples"],
+        "edges_dir": dirs["edges"],
+        "nodes_dir": dirs["nodes"],
+        "n_unique_surfaces": (surf_tbl.num_rows if small else surf_ds.count()),
     }
 
 

@@ -60,30 +60,16 @@ def edge_key_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def edge_group_to_row(group: pd.DataFrame) -> pd.DataFrame:
-    """map_groups on edge_id: n_sources = distinct source urls,
-    confidence = max over observations (deterministic)."""
-    return pd.DataFrame(
-        {
-            "edge_id": [group["edge_id"].iloc[0]],
-            "subj_id": [group["subj_id"].iloc[0]],
-            "pred": [group["pred"].iloc[0]],
-            "obj_id": [group["obj_id"].iloc[0]],
-            "n_sources": [int(group["url"].nunique())],
-            "confidence": [float(group["confidence"].max())],
-        }
-    )
-
-
-def node_group_to_row(group: pd.DataFrame) -> pd.DataFrame:
-    """map_groups on node_id: first-wins metadata + mention count."""
-    return pd.DataFrame(
-        {
-            "node_id": [group["node_id"].iloc[0]],
-            "canonical": [group["canonical"].iloc[0]],
-            "type": [group["type"].iloc[0]],
-            "n_mentions": [int(group["cnt"].sum())],
-        }
+def edge_observation_combiner(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: dedupe (edge..., url) observations before the
+    shuffle so the exchange carries one row per (edge, url) per batch.
+    NEVER a Python loop per group — pyarrow's hash group_by does the work."""
+    return (
+        batch.group_by(["edge_id", "subj_id", "pred", "obj_id", "url"])
+        .aggregate([("confidence", "max")])
+        .rename_columns(
+            ["edge_id", "subj_id", "pred", "obj_id", "url", "confidence"]
+        )
     )
 
 
@@ -108,8 +94,10 @@ def write_manifest(
         for name in sorted(os.listdir(part_dir)):
             path = os.path.join(part_dir, name)
             if name.endswith(".parquet"):
+                # cheap integrity token: size + sha1 of the first 1MB (a full
+                # hash would serialize all output bytes through the driver)
                 with open(path, "rb") as f:
-                    digest = hashlib.sha1(f.read()).hexdigest()
+                    digest = hashlib.sha1(f.read(1 << 20)).hexdigest()
                 files.append(
                     {"file": name, "bytes": os.path.getsize(path), "sha1": digest}
                 )

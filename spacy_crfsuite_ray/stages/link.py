@@ -37,6 +37,20 @@ def surface_counts_batch(batch: pa.Table) -> pa.Table:
         batch.column("value").to_pylist(), batch.column("type").to_pylist()
     ):
         counter[(type_, normalize_surface(value))] += 1
+    return _counter_table(counter)
+
+
+def entity_surface_counts_batch(batch: pa.Table) -> pa.Table:
+    """Combiner straight from tagged sentences: entities list column →
+    unique (type, norm, cnt) — skips materializing one row per mention."""
+    counter: Counter = Counter()
+    for ents in batch.column("entities").to_pylist():
+        for e in ents or ():
+            counter[(e["entity"], normalize_surface(e["value"]))] += 1
+    return _counter_table(counter)
+
+
+def _counter_table(counter: Counter) -> pa.Table:
     return pa.table(
         {
             "type": pa.array([t for t, _ in counter], type=pa.string()),

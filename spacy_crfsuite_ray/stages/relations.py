@@ -41,6 +41,89 @@ def relations_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA)
 
 
+DERIVED_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),  # "e"=tagged sentence, "t"=triple, "s"=surface
+        ("url", pa.string()),
+        ("sent_idx", pa.int32()),
+        ("base", pa.int32()),
+        ("sent", pa.string()),
+        ("entities", pa.list_(
+            pa.struct(
+                [
+                    ("start", pa.int32()),
+                    ("end", pa.int32()),
+                    ("value", pa.string()),
+                    ("entity", pa.string()),
+                    ("confidence", pa.float64()),
+                ]
+            )
+        )),
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("subj_type", pa.string()),
+        ("obj_type", pa.string()),
+        ("confidence", pa.float64()),
+        ("type", pa.string()),
+        ("norm", pa.string()),
+        ("cnt", pa.int64()),
+    ]
+)
+
+
+def derive_union_batch(batch: pa.Table) -> pa.Table:
+    """Tagged sentences → ONE kind-tagged union table holding the tagged
+    rows ("e"), the relation triples ("t") and the per-batch surface-count
+    combiner output ("s"). One python pass, one write; consumers read back
+    with parquet filter pushdown on ``kind``. Keeps phase 1 a single
+    execution per shard."""
+    from collections import Counter
+
+    from ..core.linking import normalize_surface
+
+    n = batch.num_rows
+    nul = {f.name: pa.nulls(n, f.type) for f in DERIVED_SCHEMA}
+    ent_tbl = pa.table(
+        {
+            "kind": pa.array(["e"] * n, pa.string()),
+            "url": batch.column("url"),
+            "sent_idx": batch.column("sent_idx"),
+            "base": batch.column("base"),
+            "sent": batch.column("sent"),
+            "entities": batch.column("entities").cast(
+                DERIVED_SCHEMA.field("entities").type
+            ),
+            **{k: nul[k] for k in ("subj", "pred", "obj", "subj_type",
+                                   "obj_type", "confidence", "type", "norm",
+                                   "cnt")},
+        }
+    ).select([f.name for f in DERIVED_SCHEMA]).cast(DERIVED_SCHEMA)
+
+    triple_rows = []
+    counter: Counter = Counter()
+    for url, sent, ents in zip(
+        batch.column("url").to_pylist(),
+        batch.column("sent").to_pylist(),
+        batch.column("entities").to_pylist(),
+    ):
+        if not ents:
+            continue
+        for t in extract_relations(sent, ents, url=url):
+            triple_rows.append({**t, "kind": "t"})
+        for e in ents:
+            counter[(e["entity"], normalize_surface(e["value"]))] += 1
+    surf_rows = [
+        {"kind": "s", "type": t, "norm": m, "cnt": c}
+        for (t, m), c in counter.items()
+    ]
+    parts = [ent_tbl]
+    for rows in (triple_rows, surf_rows):
+        if rows:
+            parts.append(pa.Table.from_pylist(rows, schema=DERIVED_SCHEMA))
+    return pa.concat_tables(parts)
+
+
 def mentions_batch(batch: pa.Table) -> pa.Table:
     """(url, entities) → one row per entity mention."""
     rows = []

@@ -43,15 +43,47 @@ def tag_sentences(
     return out
 
 
+_WORKER_STAGE_CACHE: dict = {}
+
+
+def tag_batch(batch: pa.Table, model_path: Optional[str] = None) -> pa.Table:
+    """Task-based tagging with a per-WORKER-PROCESS singleton stage (module
+    global — survives across tasks in the same Ray worker). For this CRF the
+    state is a ~100KB npz, so warm task workers beat spawning an actor pool;
+    a heavyweight model (GBs of weights) should use ``CRFTagStage`` with
+    ``map_batches(..., concurrency=N)`` instead — same semantics, pinned
+    processes."""
+    key = model_path or "__default__"
+    stage = _WORKER_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = CRFTagStage(model_path)
+        _WORKER_STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 class CRFTagStage:
+    """Uses the cached/batched fast path (core/fast_tag.py) when the model
+    config allows it; falls back to the per-sentence reference-semantics path
+    otherwise. Both produce identical entities (tests/test_fast_tag.py)."""
+
     def __init__(self, model_path: Optional[str] = None,
                  config: Optional[Dict] = None):
+        from ..core.fast_tag import FastTagger, config_is_cacheable
+
         self.extractor = load_extractor(model_path, config)
         self.tokenizer = RegexTokenizer()
+        self.fast = (
+            FastTagger(self.extractor)
+            if config_is_cacheable(self.extractor.component_config["features"])
+            else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sentences = batch.column("sent").to_pylist()
-        entities = tag_sentences(self.extractor, self.tokenizer, sentences)
+        if self.fast is not None:
+            entities = self.fast.tag_texts(sentences)
+        else:
+            entities = tag_sentences(self.extractor, self.tokenizer, sentences)
         return batch.append_column(
             "entities", pa.array(entities, type=pa.list_(ENTITY_TYPE))
         )

@@ -97,26 +97,26 @@ def test_manifests_written_and_resume_skips(fixture_pages, pipeline_out):
 
     pages_dir, _, _ = fixture_pages
     res, out = pipeline_out
-    entities_dir = os.path.join(out, "entities")
-    manifests = read_manifests(entities_dir)
+    tagged_dir = os.path.join(out, "tagged")
+    manifests = read_manifests(tagged_dir)
     assert len(manifests) == 2
     for m in manifests:
         assert m["rows_out"] > 0
         assert m["input_refs"]
         assert m["files"]
-        assert manifest_valid(entities_dir, m["partition_id"])
+        assert manifest_valid(tagged_dir, m["partition_id"])
     # resume: all shards skipped
     stats = run_phase1(page_files(pages_dir), out, shards=2)
     assert stats == {"shards_run": 0, "shards_skipped": 2,
-                     "entities_dir": entities_dir}
+                     "tagged_dir": tagged_dir}
     # corrupt one shard → only it re-runs
-    shard_dir = os.path.join(entities_dir, "shard=00000")
+    shard_dir = os.path.join(tagged_dir, "shard=00000")
     victim = next(
         os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
         if f.endswith(".parquet")
     )
     os.remove(victim)
-    assert not manifest_valid(entities_dir, "00000")
+    assert not manifest_valid(tagged_dir, "00000")
     shutil.rmtree(shard_dir)
     stats = run_phase1(page_files(pages_dir), out, shards=2,
                        tag_concurrency=(1, 2))
@@ -125,16 +125,19 @@ def test_manifests_written_and_resume_skips(fixture_pages, pipeline_out):
 
 def test_lang_filter_drops_non_english(fixture_pages, pipeline_out):
     res, out = pipeline_out
+    import pyarrow.dataset as pds
+
     ent_files = []
-    entities_dir = os.path.join(out, "entities")
-    for shard in os.listdir(entities_dir):
+    tagged_dir = os.path.join(out, "tagged")
+    for shard in os.listdir(tagged_dir):
         if shard.startswith("shard="):
-            d = os.path.join(entities_dir, shard)
+            d = os.path.join(tagged_dir, shard)
             ent_files += [os.path.join(d, f) for f in os.listdir(d)
                           if f.endswith(".parquet")]
     urls = set()
     for f in ent_files:
-        urls.update(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+        t = pq.read_table(f, columns=["url"], filters=pds.field("kind") == "e")
+        urls.update(t.column("url").to_pylist())
     pages_dir, _, _ = fixture_pages
     non_en = set()
     for f in page_files(pages_dir):
