@@ -58,7 +58,7 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
     sf = entrymod._sf_of(SF_DIR)
     # the bench fixture is larger than the correctness fixture so compute
     # dominates fixed pipeline-startup overhead (override: SCR_BENCH_PAGES)
-    n_pages = int(os.environ.get("SCR_BENCH_PAGES", max(240, int(1_400_000 * sf))))
+    n_pages = int(os.environ.get("SCR_BENCH_PAGES", max(240, int(2_000_000 * sf))))
     base = f"/tmp/scr_bench_pages_n{n_pages}"
     pages_dir, _ = generate_pages(n_pages, base)
     files = page_files(pages_dir)
