@@ -53,7 +53,10 @@ def _kg_output(sf_dir: str) -> str:
 def _read_out(out: str, name: str):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(out, name, "shard=all"))
+    ds = rd.read_parquet(os.path.join(out, name, "shard=all"))
+    if "shard" in ds.schema().names:  # hive partition column from the path
+        ds = ds.drop_columns(["shard"])
+    return ds
 
 
 def entry() -> Any:
