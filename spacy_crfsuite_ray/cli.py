@@ -1,0 +1,143 @@
+"""CLI entry points — reference parity for the train/eval commands
+(/root/reference/spacy_crfsuite/train.py:63-129, eval.py:13-55) plus the KG
+pipeline runner.
+
+    python -m spacy_crfsuite_ray.cli train  gold.md -o outdir [-c cfg.json] [--fine-tune]
+    python -m spacy_crfsuite_ray.cli eval   gold.md -m outdir/model.npz
+    python -m spacy_crfsuite_ray.cli tag    "some text" -m outdir/model.npz
+    python -m spacy_crfsuite_ray.cli kg     PAGES_DIR OUT_DIR [--shards N]
+
+Only the CLI owns a Ray session (guarded init); library code never calls
+ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load_config(path):
+    if not path:
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def cmd_train(args) -> int:
+    from .core.extractor import CRFExtractor, gold_example_to_crf_tokens
+    from .core.tokenizer import RegexTokenizer
+    from .sources.readers import read_file
+
+    examples = read_file(args.input)
+    tok = RegexTokenizer()
+    samples = [gold_example_to_crf_tokens(dict(e), tokenizer=tok)
+               for e in examples]
+    config = _load_config(args.config) or {}
+    if args.fine_tune:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        from .pipelines.train import fine_tune
+
+        best, score, _ = fine_tune(samples, base_config=config)
+        print(f"fine-tune best params {best} (weighted F1 {score:.3f})")
+        config.update(best)
+    ext = CRFExtractor(config)
+    ext.train(samples)
+    os.makedirs(args.out_dir, exist_ok=True)
+    model_path = os.path.join(args.out_dir, "model.npz")
+    ext.ent_tagger.save(model_path)
+    stats, report = ext.eval(samples)
+    print(report)
+    print(f"saved {model_path}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from .core.crf import LinearChainCRF
+    from .core.extractor import CRFExtractor, gold_example_to_crf_tokens
+    from .core.tokenizer import RegexTokenizer
+    from .sources.readers import read_file
+
+    ext = CRFExtractor(_load_config(args.config),
+                       ent_tagger=LinearChainCRF.load(args.model))
+    tok = RegexTokenizer()
+    samples = [gold_example_to_crf_tokens(dict(e), tokenizer=tok)
+               for e in read_file(args.input)]
+    _stats, report = ext.eval(samples)
+    print(report)
+    return 0
+
+
+def cmd_tag(args) -> int:
+    from .core.crf import LinearChainCRF
+    from .core.extractor import CRFExtractor
+    from .core.fast_tag import FastTagger
+
+    ext = CRFExtractor(_load_config(args.config),
+                       ent_tagger=LinearChainCRF.load(args.model))
+    entities = FastTagger(ext).tag_texts([args.text])[0]
+    print(json.dumps(entities, indent=1))
+    return 0
+
+
+def cmd_kg(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .pipelines.kg import run_kg_pipeline
+    from .sources.pages import page_files
+
+    files = page_files(args.pages_dir) if os.path.isdir(args.pages_dir) \
+        else [args.pages_dir]
+    res = run_kg_pipeline(files, args.out_dir, shards=args.shards)
+    print(json.dumps({k: v for k, v in res.items() if not k.endswith("_dir")}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="spacy_crfsuite_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("input")
+    t.add_argument("-o", "--out-dir", required=True)
+    t.add_argument("-c", "--config")
+    t.add_argument("--fine-tune", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval")
+    e.add_argument("input")
+    e.add_argument("-m", "--model", required=True)
+    e.add_argument("-c", "--config")
+    e.set_defaults(fn=cmd_eval)
+
+    g = sub.add_parser("tag")
+    g.add_argument("text")
+    g.add_argument("-m", "--model", required=True)
+    g.add_argument("-c", "--config")
+    g.set_defaults(fn=cmd_tag)
+
+    k = sub.add_parser("kg")
+    k.add_argument("pages_dir")
+    k.add_argument("out_dir")
+    k.add_argument("--shards", type=int, default=1)
+    k.set_defaults(fn=cmd_kg)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
