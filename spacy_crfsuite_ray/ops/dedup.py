@@ -97,24 +97,36 @@ def minhash_bands_batch(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
     )
 
 
-class _VerifyJaccard:
-    """Actor stage: holds a broadcast {doc_id: text} dict for candidate
-    verification. At 100TB scale this becomes a co-partitioned join of
-    candidate pairs against the docs table instead of a broadcast."""
+_VERIFY_CACHE: dict = {}
 
-    def __init__(self, texts_ref):
+
+def make_verify_jaccard(texts_ref):
+    """Task-based candidate verification against a broadcast {doc_id: text}
+    dict; texts and shingle sets memoized per worker process. At 100TB scale
+    this becomes a co-partitioned join of candidate pairs against the docs
+    table instead of a broadcast."""
+
+    def verify(batch: pa.Table) -> pa.Table:
         import ray
 
-        self.texts = ray.get(texts_ref)
+        state = _VERIFY_CACHE.get(texts_ref.hex())
+        if state is None:
+            state = {"texts": ray.get(texts_ref), "shingles": {}}
+            _VERIFY_CACHE[texts_ref.hex()] = state
+        texts, shingles = state["texts"], state["shingles"]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+        def sset(doc_id):
+            s = shingles.get(doc_id)
+            if s is None:
+                s = _shingle_set(texts[doc_id])
+                shingles[doc_id] = s
+            return s
+
         a_ids, b_ids, sims = [], [], []
         for a, b in zip(
             batch.column("a").to_pylist(), batch.column("b").to_pylist()
         ):
-            j = jaccard(
-                _shingle_set(self.texts[a]), _shingle_set(self.texts[b])
-            )
+            j = jaccard(sset(a), sset(b))
             a_ids.append(a)
             b_ids.append(b)
             sims.append(round(j, 6))
@@ -126,6 +138,96 @@ class _VerifyJaccard:
             }
         )
 
+    return verify
+
+
+
+# Below this many band rows the candidate generation runs on the driver with
+# numpy group slicing (band tables are tiny relative to the corpus); above
+# it, the distributed groupby(band).map_groups path runs.
+PAIRGEN_DRIVER_MAX_ROWS = 5_000_000
+
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+
+def _collect_table(ds) -> pa.Table:
+    return pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.iter_batches(batch_format="pyarrow")
+    )
+
+
+def _band_group_slices(band_col: np.ndarray):
+    """Yield index slices of equal-band runs over a sorted band array."""
+    order = np.argsort(band_col, kind="stable")
+    sorted_bands = band_col[order]
+    boundaries = np.nonzero(sorted_bands[1:] != sorted_bands[:-1])[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(sorted_bands)]])
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            yield order[s:e]
+
+
+def _minhash_pairs_driver(tbl: pa.Table) -> pa.Table:
+    bands = np.asarray(tbl.column("band").to_pandas())
+    ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=np.int64)
+    out_a, out_b = [], []
+    for idx in _band_group_slices(bands):
+        gids = np.unique(ids[idx])
+        if len(gids) < 2:
+            continue
+        ai, bi = np.triu_indices(len(gids), k=1)
+        out_a.append(gids[ai])
+        out_b.append(gids[bi])
+    if not out_a:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pa.table({"a": pa.array(uniq[:, 0]), "b": pa.array(uniq[:, 1])})
+
+
+def _hamming_matrix(h_rows: np.ndarray, h_cols: np.ndarray) -> np.ndarray:
+    """Pairwise hamming distances via byte-popcount LUT (uint64 inputs)."""
+    x = h_rows[:, None] ^ h_cols[None, :]
+    return _POPCNT[x.view(np.uint8).reshape(x.shape[0], x.shape[1], 8)].sum(2)
+
+
+def _simhash_pairs_driver(tbl: pa.Table, max_hamming: int) -> pa.Table:
+    bands = np.asarray(tbl.column("band").to_pandas())
+    ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=np.int64)
+    hashes = np.asarray(tbl.column("simhash").to_pylist(),
+                        dtype=np.int64).view(np.uint64)
+    out = []
+    for idx in _band_group_slices(bands):
+        gids, first = np.unique(ids[idx], return_index=True)
+        if len(gids) < 2:
+            continue
+        ghs = hashes[idx][first]
+        # row-chunked to bound the pairwise matrix
+        for s in range(0, len(gids), 1024):
+            rows = slice(s, min(s + 1024, len(gids)))
+            ham = _hamming_matrix(ghs[rows], ghs)
+            ai, bi = np.nonzero(ham <= max_hamming)
+            ai_g = ai + s
+            keep = ai_g < bi  # upper triangle only
+            if keep.any():
+                out.append(np.stack(
+                    [gids[ai_g[keep]], gids[bi[keep]],
+                     ham[ai[keep], bi[keep]].astype(np.int64)], axis=1))
+    if not out:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    cat = np.concatenate(out)
+    # dedupe pairs surfaced by multiple bands (same hamming each time)
+    _, first = np.unique(cat[:, :2], axis=0, return_index=True)
+    cat = cat[np.sort(first)]
+    return pa.table({"a": pa.array(cat[:, 0]), "b": pa.array(cat[:, 1]),
+                     "hamming": pa.array(cat[:, 2])})
+
 
 def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """Candidate pairs within one band bucket (sorted, a < b)."""
@@ -136,8 +238,12 @@ def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": list(a), "b": list(b)})
 
 
-def _dedupe_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    return group.iloc[:1][["a", "b"]]
+def _dedupe_pairs_ds(ds):
+    """Vectorized pair dedup: groupby-count then drop the count column —
+    no per-group Python."""
+    return ds.groupby(["a", "b"]).count().map_batches(
+        lambda b: b.select(["a", "b"]), batch_format="pyarrow"
+    )
 
 
 def minhash_dedup_pairs(
@@ -159,23 +265,26 @@ def minhash_dedup_pairs(
         )
     texts_ref = ray.put(texts)
 
-    candidates = (
-        docs.map_batches(
-            lambda b: minhash_bands_batch(b, num_perm, bands),
-            batch_format="pyarrow",
-        )
-        .groupby("band")
-        .map_groups(_band_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(_dedupe_pairs, batch_format="pandas")
-    )
-    verified = candidates.map_batches(
-        _VerifyJaccard,
+    band_ds = docs.map_batches(
+        lambda b: minhash_bands_batch(b, num_perm, bands),
         batch_format="pyarrow",
-        fn_constructor_kwargs={"texts_ref": texts_ref},
-        concurrency=(1, 4),
+    ).materialize()
+    if band_ds.count() <= PAIRGEN_DRIVER_MAX_ROWS:
+        candidates = rd.from_arrow(_minhash_pairs_driver(_collect_table(band_ds)))
+    else:
+        candidates = _dedupe_pairs_ds(
+            band_ds.groupby("band").map_groups(_band_pairs,
+                                               batch_format="pandas")
+        )
+    import pyarrow.compute as pc
+
+    verified = candidates.map_batches(
+        make_verify_jaccard(texts_ref), batch_format="pyarrow"
     )
-    return verified.filter(lambda row: row["jaccard"] >= threshold)
+    return verified.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("jaccard"), threshold)),
+        batch_format="pyarrow",
+    )
 
 
 def simhash_docs(sf_dir: str) -> "rd.Dataset":
@@ -225,26 +334,34 @@ def simhash_dedup_pairs(
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         rows = sorted(set(zip(group["doc_id"], group["simhash"])))
-        out_a, out_b, out_d = [], [], []
-        for i, (a, ha) in enumerate(rows):
-            for b, hb in rows[i + 1:]:
-                d = hamming64(int(np.int64(ha).astype(np.uint64)),
-                              int(np.int64(hb).astype(np.uint64)))
-                if d <= max_hamming:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_d.append(d)
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_d}).astype(
-            {"a": "int64", "b": "int64", "hamming": "int64"}
+        if len(rows) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+                {"a": "int64", "b": "int64", "hamming": "int64"}
+            )
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        hs = np.array([r[1] for r in rows], dtype=np.int64).view(np.uint64)
+        # vectorized pairwise hamming: popcount via 8-bit LUT on xor bytes
+        x = hs[:, None] ^ hs[None, :]
+        ham = np.unpackbits(
+            x.view(np.uint8).reshape(len(rows), len(rows), 8), axis=2
+        ).sum(axis=2)
+        ai, bi = np.nonzero(np.triu(ham <= max_hamming, k=1))
+        return pd.DataFrame(
+            {"a": ids[ai], "b": ids[bi],
+             "hamming": ham[ai, bi].astype(np.int64)}
         )
 
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.iloc[:1], batch_format="pandas")
+    band_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        band_rows, batch_format="pyarrow"
+    ).materialize()
+    if band_ds.count() <= PAIRGEN_DRIVER_MAX_ROWS:
+        return rd.from_arrow(
+            _simhash_pairs_driver(_collect_table(band_ds), max_hamming)
+        )
+    paired = band_ds.groupby("band").map_groups(pairs, batch_format="pandas")
+    return paired.groupby(["a", "b"]).min("hamming").map_batches(
+        lambda b: b.rename_columns(["a", "b", "hamming"]),
+        batch_format="pyarrow",
     )
 
 
