@@ -79,6 +79,52 @@ def _kg_edges(sf_dir: str):
     return _read_out(_kg_output(sf_dir), "edges").drop_columns(["confidence"])
 
 
+def _kg_mentions(sf_dir: str):
+    """Entity mentions exploded from the tagged-sentence checkpoint."""
+    import os as _os
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from spacy_crfsuite_ray.pipelines.kg import _shard_files
+    from spacy_crfsuite_ray.stages.relations import mentions_batch
+
+    out = _kg_output(sf_dir)
+    files = _shard_files(out, "tagged")
+    return rd.read_parquet(
+        files, columns=["url", "entities"], filter=pds.field("kind") == "e"
+    ).map_batches(mentions_batch, batch_format="pyarrow") \
+     .drop_columns(["confidence"])
+
+
+def _tagger_report(sf_dir: str):
+    """Train on the deterministic gold set, return the per-tag eval report
+    (reference README.md:110-122 quality gate as a table)."""
+    import pandas as pd
+
+    from spacy_crfsuite_ray.core.extractor import (
+        CRFExtractor, gold_example_to_crf_tokens,
+    )
+    from spacy_crfsuite_ray.core.tokenizer import RegexTokenizer
+    from spacy_crfsuite_ray.sources.pages import gold_training_examples
+
+    tok = RegexTokenizer()
+    samples = [
+        gold_example_to_crf_tokens(dict(e), tokenizer=tok)
+        for e in gold_training_examples(120)
+    ]
+    ext = CRFExtractor({"c1": 0.003, "c2": 0.03, "max_iter": 150})
+    ext.train(samples)
+    stats, _ = ext.eval(samples)
+    rows = [
+        {"tag": tag, "precision": round(s["precision"], 6),
+         "recall": round(s["recall"], 6), "f1": round(s["f1-score"], 6),
+         "support": int(s["support"])}
+        for tag, s in stats.items()
+    ]
+    return pd.DataFrame(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from spacy_crfsuite_ray.ops import ann, dedup, multimodal, relational, text
 
@@ -87,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
+        "kg_mentions": _kg_mentions,
+        "tagger_report": _tagger_report,
         # --- text analysis over documents
         "doc_stats": text.doc_stats,
         "lang_count": text.lang_count,

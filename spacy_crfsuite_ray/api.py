@@ -1,0 +1,29 @@
+"""Batch inference API — parity with the reference's HTTP surface
+(/root/reference/spacy_crfsuite/serve.py:63-93) without the web framework
+(no network in this environment): ``parse_texts`` returns the same
+``{"text", "entities"}`` response shape the /parse endpoint produces.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from .core.fast_tag import FastTagger, config_is_cacheable
+from .core.tokenizer import RegexTokenizer
+from .stages.tag import tag_sentences
+from .state.model import load_extractor
+
+
+def parse_texts(
+    texts: List[str],
+    model_path: Optional[str] = None,
+    config: Optional[Dict] = None,
+) -> List[Dict[str, Any]]:
+    """Tag a batch of raw texts. Uses the fast batched path when the model
+    config allows it (identical output either way)."""
+    extractor = load_extractor(model_path, config)
+    if config_is_cacheable(extractor.component_config["features"]):
+        ents = FastTagger(extractor).tag_texts(texts)
+    else:
+        ents = tag_sentences(extractor, RegexTokenizer(), texts)
+    return [{"text": t, "entities": e} for t, e in zip(texts, ents)]
