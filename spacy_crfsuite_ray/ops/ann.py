@@ -118,9 +118,15 @@ def ann_topk(
     )
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
+def _n_planes(n_vectors: int) -> int:
+    """Scale bucket count to the corpus: ~n/8 vectors per bucket on average
+    keeps probes cheap without starving recall on small corpora."""
+    return max(2, min(LSH_PLANES, int(np.log2(max(2, n_vectors / 8)))))
+
+
+def _hyperplanes(dim: int, n_planes: int = LSH_PLANES) -> np.ndarray:
     rng = np.random.RandomState(LSH_SEED)
-    return rng.normal(size=(LSH_PLANES, dim))
+    return rng.normal(size=(n_planes, dim))
 
 
 def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -128,33 +134,35 @@ def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits * (1 << np.arange(planes.shape[0]))).sum(axis=1)
 
 
+LSH_TABLES = 4
+
+
 def ann_lsh(
-    sf_dir: str, k: int = DEFAULT_K, n_queries: int = DEFAULT_N_QUERIES
+    sf_dir: str, k: int = DEFAULT_K, n_queries: int = DEFAULT_N_QUERIES,
+    n_tables: int = LSH_TABLES,
 ) -> "rd.Dataset":
-    """LSH-bucketed ANN: corpus vectors shuffle once by hyperplane bucket;
-    each query probes only its own bucket (multi-probe: exact bucket + 1-bit
-    flips). Approximate — tests assert recall ≥ 0.6 vs brute force."""
+    """Multi-table hyperplane-LSH ANN: corpus vectors get one bucket key per
+    table; each query probes its bucket (+1-bit flips) in every table and
+    candidates are unioned — the standard recall/cost dial. Cosines are only
+    computed for candidates, so per-query work is bounded by bucket sizes,
+    not corpus size. Approximate — tests assert recall vs brute force."""
     import ray
 
     qids, qmat = _query_matrix(sf_dir, n_queries)
     ids0, mat0 = _load_matrix(sf_dir)
-    planes = _hyperplanes(mat0.shape[1])
-    qbuckets = _bucket_of(qmat, planes)
-    # multi-probe target bucket set per query
+    n_planes = _n_planes(len(ids0))
+    rng = np.random.RandomState(LSH_SEED)
+    tables = [rng.normal(size=(n_planes, mat0.shape[1]))
+              for _ in range(n_tables)]
+    # multi-probe target (table, bucket) → query ids
     probe: dict = {}
-    for qid, qb in zip(qids, qbuckets):
-        targets = {int(qb)} | {int(qb) ^ (1 << i) for i in range(LSH_PLANES)}
-        for t in targets:
-            probe.setdefault(t, []).append(int(qid))
+    for ti, planes in enumerate(tables):
+        qbuckets = _bucket_of(qmat, planes)
+        for qid, qb in zip(qids, qbuckets):
+            targets = {int(qb)} | {int(qb) ^ (1 << i) for i in range(n_planes)}
+            for t in targets:
+                probe.setdefault((ti, t), []).append(int(qid))
     probe_ref = ray.put((probe, {int(q): v for q, v in zip(qids, qmat)}))
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        buckets = _bucket_of(_normalize(vecs), planes)
-        return batch.append_column(
-            "bucket", pa.array([int(b) for b in buckets], pa.int64())
-        )
 
     class Probe:
         def __init__(self, ref):
@@ -163,18 +171,21 @@ def ann_lsh(
         def __call__(self, batch: pa.Table) -> pa.Table:
             vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
             vecs = _normalize(
-                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+                np.asarray(batch.column("embedding").to_pylist(),
+                           dtype=np.float64)
             )
-            buckets = batch.column("bucket").to_pylist()
+            buckets = [_bucket_of(vecs, planes) for planes in tables]
             out_q, out_n, out_c = [], [], []
-            for i, bucket in enumerate(buckets):
-                for qid in self.probe.get(bucket, ()):
+            for i in range(len(vids)):
+                cands = set()
+                for ti in range(len(tables)):
+                    cands.update(self.probe.get((ti, int(buckets[ti][i])), ()))
+                for qid in cands:
                     if vids[i] == qid:
                         continue
-                    c = float(self.queries[qid] @ vecs[i])
                     out_q.append(qid)
                     out_n.append(int(vids[i]))
-                    out_c.append(c)
+                    out_c.append(float(self.queries[qid] @ vecs[i]))
             return pa.table(
                 {
                     "query_id": pa.array(out_q, pa.int64()),
@@ -187,7 +198,6 @@ def ann_lsh(
         rd.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        .map_batches(bucketize, batch_format="pyarrow")
         .map_batches(
             Probe,
             batch_format="pyarrow",

@@ -1,0 +1,107 @@
+"""Training-data operators vs DuckDB oracles (mirrors the driver gate) +
+ANN recall and multimodal plumbing checks. Runs at sf0.001 for speed."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _df(x):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(x, rd.Dataset):
+        return x.to_pandas()
+    if isinstance(x, pa.Table):
+        return x.to_pandas()
+    return x
+
+
+def _assert_matches_oracle(ray_result, sql, con):
+    a = _df(ray_result)
+    b = con.execute(sql).fetchdf()
+    a = a[sorted(a.columns)].sort_values(sorted(a.columns)).reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(sorted(b.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=1e-9)
+
+
+@pytest.mark.parametrize("name", [
+    "doc_stats", "lang_count", "token_count_by_source", "quality_filter",
+    "doc_fingerprint", "exact_dedup", "embedding_dup_pairs", "ann_topk",
+    "lineitem_agg", "segment_revenue", "top_parts", "events_daily",
+])
+def test_sql_oracled_queries(ray_session, con, name):
+    import __ray_entry__ as E
+
+    _assert_matches_oracle(E.queries()[name](SF), E.oracle_sql()[name], con)
+
+
+def test_ann_lsh_recall_vs_bruteforce(ray_session):
+    from spacy_crfsuite_ray.ops.ann import ann_lsh, ann_topk
+
+    exact = _df(ann_topk(SF))
+    approx = _df(ann_lsh(SF))
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # multi-probe LSH over random vectors
+
+
+def test_minhash_pairs_symmetric_and_thresholded(ray_session):
+    from spacy_crfsuite_ray.ops.dedup import minhash_dedup_pairs
+
+    df = _df(minhash_dedup_pairs(SF))
+    if len(df):
+        assert (df["a"] < df["b"]).all()
+        assert (df["jaccard"] >= 0.5).all()
+
+
+def test_simhash_pairs_valid(ray_session):
+    from spacy_crfsuite_ray.ops.dedup import simhash_dedup_pairs
+
+    df = _df(simhash_dedup_pairs(SF))
+    if len(df):
+        assert (df["a"] < df["b"]).all()
+        assert (df["hamming"] <= 10).all()
+        # no duplicate pairs
+        assert not df.duplicated(["a", "b"]).any()
+
+
+def test_media_features_real_plumbing(ray_session, tmp_path):
+    from spacy_crfsuite_ray.ops import multimodal
+
+    media_path = multimodal.synth_media_table(SF, str(tmp_path / "m.parquet"))
+    df = _df(multimodal.media_features(SF, media_path))
+    assert {"media_id", "height", "width", "channel_means", "thumb"} <= set(df.columns)
+    row = df.iloc[0]
+    assert row["height"] >= 8 and row["width"] >= 8
+    assert len(row["channel_means"]) == 3
+    assert len(row["thumb"]) == 8 * 8 * 3
+    # decode parses exactly what encode wrote
+    import numpy as np
+
+    arr = np.zeros((4, 5, 3), dtype=np.uint8)
+    assert multimodal.decode_simg(multimodal.encode_simg(arr)).shape == (4, 5, 3)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_simg(b"JPEGnotsupported")
+
+
+def test_lang_id_deterministic(ray_session):
+    from spacy_crfsuite_ray.ops.text import detect_lang
+
+    assert detect_lang("the cat and the dog are in the house") == "en"
+    assert detect_lang("der hund und die katze sind nicht da") == "de"
+    assert detect_lang("一些中文内容在这里") == "zh"
+    assert detect_lang("xyzzy qwerty") == "und"
