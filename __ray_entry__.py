@@ -97,6 +97,33 @@ def _kg_mentions(sf_dir: str):
      .drop_columns(["confidence"])
 
 
+def _domain_stats(sf_dir: str):
+    """Triples per source domain over the HOT-DOMAIN-SKEWED pages fixture,
+    via the salted two-stage groupby (explicit skew handling demo)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from spacy_crfsuite_ray.stages.salted import salted_sum
+
+    out = _kg_output(sf_dir)
+    triples = _read_out(out, "triples")
+
+    def with_domain(batch: pa.Table) -> pa.Table:
+        domains = [u.split("/")[2] for u in batch.column("url").to_pylist()]
+        return pa.table(
+            {
+                "domain": pa.array(domains, pa.string()),
+                "one": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    return salted_sum(
+        triples.map_batches(with_domain, batch_format="pyarrow"),
+        keys=["domain"], value_col="one", out_name="n_triples",
+    )
+
+
 def _tagger_report(sf_dir: str):
     """Train on the deterministic gold set, return the per-tag eval report
     (reference README.md:110-122 quality gate as a table)."""
@@ -134,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_mentions": _kg_mentions,
+        "kg_domain_stats": _domain_stats,
         "tagger_report": _tagger_report,
         # --- text analysis over documents
         "doc_stats": text.doc_stats,
