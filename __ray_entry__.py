@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": relational.segment_revenue,
         "top_parts": relational.top_parts,
         "events_daily": relational.events_daily,
+        "user_sessions": relational.user_sessions,
+        "top_orders_per_segment": relational.top_orders_per_segment,
     }
 
 
@@ -271,5 +273,27 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_value_c4,
                    count(*) AS n_events
             FROM events GROUP BY event_type, date_trunc('day', ts)
+        """,
+        "user_sessions": """
+            SELECT user_id,
+                   sum(new_session) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) GROUP BY user_id
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+                SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (PARTITION BY c.c_mktsegment
+                                          ORDER BY o.o_totalprice DESC,
+                                                   o.o_orderkey) AS rn
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ) WHERE rn <= 3
         """,
     }

@@ -27,3 +27,23 @@ def parse_texts(
     else:
         ents = tag_sentences(extractor, RegexTokenizer(), texts)
     return [{"text": t, "entities": e} for t, e in zip(texts, ents)]
+
+
+def parse_document(
+    text: str,
+    model_path: Optional[str] = None,
+    config: Optional[Dict] = None,
+) -> Dict[str, Any]:
+    """Document-level equivalent of the reference's spaCy component
+    (crf_extractor.py:571-606 CRFEntityExtractor): split into sentences, tag
+    each, and return entities with DOCUMENT-absolute char offsets."""
+    from .core.sentences import split_sentences
+
+    sents = split_sentences(text)
+    parsed = parse_texts([s for _, s in sents], model_path, config)
+    entities: List[Dict[str, Any]] = []
+    for (base, sent), row in zip(sents, parsed):
+        for e in row["entities"]:
+            entities.append({**e, "start": e["start"] + base,
+                             "end": e["end"] + base})
+    return {"text": text, "entities": entities}

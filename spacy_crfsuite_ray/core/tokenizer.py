@@ -86,7 +86,16 @@ def span_tokenize(text: str) -> List[Tuple[str, int, int]]:
     return [(m.group(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
 
 
-class RegexTokenizer:
+class Tokenizer:
+    """Extension surface (reference tokenizer.py:52-57): subclass and
+    implement ``tokenize(message, attribute)``; every caller accepts any
+    Tokenizer."""
+
+    def tokenize(self, message: Dict, attribute: str = "text") -> None:
+        raise NotImplementedError("should be implemented by subclass")
+
+
+class RegexTokenizer(Tokenizer):
     """Drop-in for the reference ``SpacyTokenizer``: mutates ``message`` in
     place, adding ``tokens`` (with CLS sentinel)."""
 

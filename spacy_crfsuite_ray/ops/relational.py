@@ -164,6 +164,78 @@ def top_parts(sf_dir: str, k: int = 10) -> "rd.Dataset":
     )
 
 
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
+    """Gap-based sessionization (streaming-window semantics): a new session
+    starts when a user's inter-event gap exceeds ``gap_minutes``. Events are
+    hash-partitioned by user via groupby; per-user ordering happens inside
+    the group (deterministic tie-break on event_id)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(new_session.sum())],
+                "n_events": [len(g)],
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Per-group top-k (window-rank): the k highest-value orders in each
+    market segment. Broadcast-join the segment, then rank inside the
+    segment group."""
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_of = dict(
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist())
+    )
+    seg_ref = ray.put(seg_of)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        segs = ray.get(seg_ref)
+        col = [segs.get(kk) for kk in batch.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(col, pa.string()),
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+        return g[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        )
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def events_daily(sf_dir: str) -> "rd.Dataset":
     """Tumbling 1-day window per event_type: count + sum(value)."""
 

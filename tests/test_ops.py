@@ -41,6 +41,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "doc_stats", "lang_count", "token_count_by_source", "quality_filter",
     "doc_fingerprint", "exact_dedup", "embedding_dup_pairs", "ann_topk",
     "lineitem_agg", "segment_revenue", "top_parts", "events_daily",
+    "user_sessions", "top_orders_per_segment",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
