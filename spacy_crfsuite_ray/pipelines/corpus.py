@@ -16,7 +16,6 @@ from typing import Dict, List
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
 import ray.data as rd
 
 from ..core.tokenizer import TOKEN_PATTERN

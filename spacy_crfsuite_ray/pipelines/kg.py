@@ -50,7 +50,7 @@ from ..stages.link import (
     flatten_chains,
     resolve_block_group,
 )
-from ..stages.relations import derive_union_batch, relations_batch
+from ..stages.relations import derive_union_batch
 from ..stages.tag import CRFTagStage, tag_batch
 from ..state.model import ensure_default_model
 from ..functions.hashing import node_id as _node_id
