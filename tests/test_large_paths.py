@@ -1,0 +1,73 @@
+"""The distributed (at-scale) code paths must produce EXACTLY what the
+driver-side small paths produce — forced via the row thresholds."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from spacy_crfsuite_ray.sources.pages import generate_pages, page_files
+
+
+@pytest.fixture(scope="module")
+def pages(ray_session, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("lp"))
+    pages_dir, _ = generate_pages(50, base, rows_per_file=25)
+    return page_files(pages_dir), base
+
+
+def _read_sorted(path, cols):
+    df = pq.read_table(os.path.join(path, "shard=all")).to_pandas()
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_phase2_distributed_equals_driver(pages, monkeypatch, tmp_path_factory):
+    from spacy_crfsuite_ray.pipelines import kg
+
+    files, base = pages
+    out_small = os.path.join(base, "out_small")
+    out_large = os.path.join(base, "out_large")
+
+    kg.run_phase1(files, out_small, shards=1)
+    kg.run_phase1(files, out_large, shards=1)
+
+    kg.run_phase2(out_small)
+    monkeypatch.setattr(kg, "DRIVER_MERGE_MAX_ROWS", 0)
+    kg.run_phase2(out_large)
+
+    t_cols = ["subj", "pred", "obj", "subj_canonical", "obj_canonical",
+              "subj_id", "obj_id", "url"]
+    a = _read_sorted(os.path.join(out_small, "triples"), t_cols)
+    b = _read_sorted(os.path.join(out_large, "triples"), t_cols)
+    assert a.equals(b)
+
+    n_cols = ["node_id", "canonical", "type", "n_mentions"]
+    a = _read_sorted(os.path.join(out_small, "nodes"), n_cols)
+    b = _read_sorted(os.path.join(out_large, "nodes"), n_cols)
+    assert a.equals(b)
+
+    e_cols = ["edge_id", "subj_id", "pred", "obj_id", "n_sources"]
+    a = _read_sorted(os.path.join(out_small, "edges"), e_cols)
+    b = _read_sorted(os.path.join(out_large, "edges"), e_cols)
+    assert a.equals(b)
+
+
+def test_pairgen_distributed_equals_driver(ray_session, monkeypatch):
+    from spacy_crfsuite_ray.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+
+    def pairs_df(fn):
+        df = fn(sf).to_pandas()
+        cols = [c for c in ("a", "b") if c in df.columns]
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    small_min = pairs_df(dedup.minhash_dedup_pairs)
+    small_sim = pairs_df(dedup.simhash_dedup_pairs)
+
+    monkeypatch.setattr(dedup, "PAIRGEN_DRIVER_MAX_ROWS", 0)
+    large_min = pairs_df(dedup.minhash_dedup_pairs)
+    large_sim = pairs_df(dedup.simhash_dedup_pairs)
+
+    assert small_min.equals(large_min)
+    assert small_sim.equals(large_sim)
