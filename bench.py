@@ -129,8 +129,12 @@ def run_scaling() -> dict:
             [sys.executable, __file__, "--kg-only", f"--cpus={cpus}"],
             capture_output=True, text=True,
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        runs[cpus] = json.loads(line)
+        lines = proc.stdout.strip().splitlines()
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"bench subprocess (cpus={cpus}) failed: {proc.stderr[-2000:]}"
+            )
+        runs[cpus] = json.loads(lines[-1])
     t_lo = runs[levels[0]]["pages_per_s"]
     t_hi = runs[levels[1]]["pages_per_s"]
     speedup = t_hi / t_lo if t_lo else 0.0

@@ -123,6 +123,14 @@ def test_manifests_written_and_resume_skips(fixture_pages, pipeline_out):
     assert stats["shards_run"] == 1 and stats["shards_skipped"] == 1
 
 
+def test_phase2_idempotent_skip(fixture_pages, pipeline_out):
+    from spacy_crfsuite_ray.pipelines.kg import run_phase2
+
+    _, out = pipeline_out
+    res = run_phase2(out)
+    assert res.get("skipped") is True  # valid manifests short-circuit
+
+
 def test_lang_filter_drops_non_english(fixture_pages, pipeline_out):
     res, out = pipeline_out
     import pyarrow.dataset as pds
