@@ -71,16 +71,13 @@ class FastTagger:
               for k in range(self.L)] for j in range(self.L)]
         )
 
-    def _flag_ids(self, flag: str) -> np.ndarray:
+    def _flag_ids(self, flag: str) -> List[int]:
         idx = self.vocab.get(flag)
-        return (
-            np.array([idx], dtype=np.int64)
-            if idx is not None
-            else np.empty(0, dtype=np.int64)
-        )
+        return [idx] if idx is not None else []
 
-    def _token_window_ids(self, text: str) -> List[np.ndarray]:
-        """For one token text: vocab-id array per window offset."""
+    def _token_window_ids(self, text: str) -> List[List[int]]:
+        """For one token text: vocab-id list per window offset (plain Python
+        lists — encode concatenates with list.extend, no numpy per token)."""
         cached = self._cache.get(text)
         if cached is not None:
             return cached
@@ -91,54 +88,50 @@ class FastTagger:
             fd: Dict[str, Any] = {}
             for feature in self.features[off_idx]:
                 fd[f"{prefix}:{feature}"] = FUNCTION_DICT[feature](token)
-            ids = [
+            ids = sorted(
                 self.vocab[name]
                 for name, _w in flatten_features(fd)
                 if name in self.vocab
-            ]
-            out.append(np.asarray(sorted(ids), dtype=np.int64))
+            )
+            out.append(ids)
         self._cache[text] = out
         return out
 
-    def encode_sentence(self, texts: List[str]) -> List[np.ndarray]:
-        """Per-token vocab-id arrays for a tokenized sentence (exactly the
-        ids the generic encoder produces for the default config)."""
+    def encode_sentence(self, texts: List[str]):
+        """Flat per-sentence encoding: (flat_ids int64 array, per-token
+        counts) — exactly the ids the generic encoder produces for the
+        default config, grouped per token by counts."""
         n = len(texts)
         window = [self._token_window_ids(t) for t in texts]
-        ids_per_token = []
+        flat: List[int] = []
+        counts = np.empty(n, dtype=np.int64)
         for i in range(n):
-            parts = []
+            before = len(flat)
             for off_idx, off in enumerate(self.offsets):
                 j = i + off
                 if j < 0:
-                    parts.append(self.bos_ids)
+                    flat.extend(self.bos_ids)
                 elif j >= n:
-                    parts.append(self.eos_ids)
+                    flat.extend(self.eos_ids)
                 else:
-                    parts.append(window[j][off_idx])
-            ids_per_token.append(np.concatenate(parts))
-        return ids_per_token
+                    flat.extend(window[j][off_idx])
+            counts[i] = len(flat) - before
+        return np.asarray(flat, dtype=np.int64), counts
 
     # -------------------------------------------------------------- numerics
 
-    def _state_scores_batch(
-        self, encoded: List[List[np.ndarray]]
-    ) -> List[np.ndarray]:
+    def _state_scores_batch(self, encoded) -> List[np.ndarray]:
         """All sentences' (T, L) state scores via ONE fancy-index +
-        reduceat over the concatenated feature ids."""
-        token_ids = [ids for sent in encoded for ids in sent]
-        if not token_ids:
+        reduceat over the concatenated feature ids.
+
+        ``encoded``: list of (flat_ids, per-token counts) pairs."""
+        if not encoded:
             return []
-        counts = np.fromiter((len(a) for a in token_ids), dtype=np.int64)
-        flat = (
-            np.concatenate(token_ids)
-            if counts.sum() > 0
-            else np.empty(0, dtype=np.int64)
-        )
+        flat = np.concatenate([ids for ids, _ in encoded])
+        counts = np.concatenate([c for _, c in encoded])
         rows = self.W[flat]  # (total_feats, L)
         offsets = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
-        # reduceat can't handle zero-length segments directly; guard:
         if (counts == 0).any():
             # reduceat mishandles zero-length segments; rare → plain loop
             S_tok = np.zeros((len(counts), self.L))
@@ -151,8 +144,8 @@ class FastTagger:
             S_tok = np.add.reduceat(rows, offsets, axis=0)
         out = []
         pos = 0
-        for sent in encoded:
-            n = len(sent)
+        for _, c in encoded:
+            n = len(c)
             out.append(S_tok[pos:pos + n])
             pos += n
         return out
