@@ -41,12 +41,18 @@ def _pages_fixture(sf_dir: str):
 
 
 def _kg_output(sf_dir: str) -> str:
-    """Run (or resume) the KG pipeline for this scale; returns the out dir."""
+    """Run (or resume) the KG pipeline for this scale; returns the out dir.
+    Guarded by a cross-process lock: shared /tmp fixture output must not be
+    built concurrently."""
+    import fcntl
+
     from spacy_crfsuite_ray.pipelines.kg import run_kg_pipeline
 
     files, _, base = _pages_fixture(sf_dir)
     out = os.path.join(base, "out")
-    run_kg_pipeline(files, out, shards=min(4, len(files)))
+    with open(os.path.join(base, ".kg.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        run_kg_pipeline(files, out, shards=min(4, len(files)))
     return out
 
 

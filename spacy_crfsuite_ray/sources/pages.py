@@ -231,12 +231,20 @@ def generate_pages(
 ) -> Tuple[str, str]:
     """Write pages parquet (multiple files → parallel read) + gold triples.
     Returns (pages_dir, gold_path). Idempotent unless force."""
+    import fcntl
+
     pages_dir = os.path.join(out_dir, "pages")
     gold_path = os.path.join(out_dir, "gold_triples.parquet")
     done_marker = os.path.join(out_dir, f".done-{n_pages}")
     if os.path.exists(done_marker) and not force:
         return pages_dir, gold_path
     os.makedirs(pages_dir, exist_ok=True)
+    # cross-process guard: two callers must not generate the same fixture
+    lock = open(os.path.join(out_dir, ".gen.lock"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    if os.path.exists(done_marker) and not force:
+        lock.close()
+        return pages_dir, gold_path
     gold_rows: List[Dict] = []
     for file_idx, start in enumerate(range(0, n_pages, rows_per_file)):
         rows = [_page_rows(i) for i in range(start, min(start + rows_per_file, n_pages))]
@@ -247,6 +255,7 @@ def generate_pages(
     pq.write_table(pa.Table.from_pylist(gold_rows, schema=GOLD_SCHEMA), gold_path)
     with open(done_marker, "w") as f:
         f.write(str(n_pages))
+    lock.close()
     return pages_dir, gold_path
 
 
