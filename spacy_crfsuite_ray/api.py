@@ -13,6 +13,10 @@ from .core.tokenizer import RegexTokenizer
 from .stages.tag import tag_sentences
 from .state.model import load_extractor
 
+# FastTagger per extractor instance — keeps the per-token-text encoding
+# cache warm across calls (the whole point of the fast path when serving)
+_FAST_CACHE: Dict[int, FastTagger] = {}
+
 
 def parse_texts(
     texts: List[str],
@@ -23,7 +27,11 @@ def parse_texts(
     config allows it (identical output either way)."""
     extractor = load_extractor(model_path, config)
     if config_is_cacheable(extractor.component_config["features"]):
-        ents = FastTagger(extractor).tag_texts(texts)
+        fast = _FAST_CACHE.get(id(extractor))
+        if fast is None:
+            fast = FastTagger(extractor)
+            _FAST_CACHE[id(extractor)] = fast
+        ents = fast.tag_texts(texts)
     else:
         ents = tag_sentences(extractor, RegexTokenizer(), texts)
     return [{"text": t, "entities": e} for t, e in zip(texts, ents)]

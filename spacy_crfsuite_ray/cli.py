@@ -75,13 +75,11 @@ def cmd_eval(args) -> int:
 
 
 def cmd_tag(args) -> int:
-    from .core.crf import LinearChainCRF
-    from .core.extractor import CRFExtractor
-    from .core.fast_tag import FastTagger
+    from .api import parse_texts
 
-    ext = CRFExtractor(_load_config(args.config),
-                       ent_tagger=LinearChainCRF.load(args.model))
-    entities = FastTagger(ext).tag_texts([args.text])[0]
+    entities = parse_texts(
+        [args.text], model_path=args.model, config=_load_config(args.config)
+    )[0]["entities"]
     print(json.dumps(entities, indent=1))
     return 0
 

@@ -241,8 +241,27 @@ class LinearChainCRF:
             grad += 2.0 * c2 * theta + c1 * np.sign(theta)
             return loss, grad
 
+        # optional dev set: track held-out NLL each iteration and keep the
+        # best-dev weights at the end (crfsuite-style holdout monitoring
+        # plus selection)
+        dev_encs: List[EncodedSentence] = []
+        if X_dev and y_dev:
+            for sent, tags in zip(X_dev, y_dev):
+                if not sent or any(t not in lab_idx for t in tags):
+                    continue  # unseen label → sentence can't be scored
+                enc = self._encode(sent, grow_vocab=False)
+                enc.labels = np.asarray([lab_idx[t] for t in tags],
+                                        dtype=np.int64)
+                dev_encs.append(enc)
+
+        def dev_nll(theta):
+            W, T = unpack(theta)
+            nll, _gW, _gT = self._nll_grad(dev_encs, W, T)
+            return nll
+
         theta = np.zeros(n_state + L * L)
         loss, grad = objective(theta)
+        best_dev = (dev_nll(theta), theta.copy()) if dev_encs else None
         s_hist: List[np.ndarray] = []
         y_hist: List[np.ndarray] = []
         m = 10
@@ -288,8 +307,14 @@ class LinearChainCRF:
                     y_hist.pop(0)
             rel_improve = abs(loss - new_loss) / max(1.0, abs(loss))
             theta, loss, grad = new_theta, new_loss, new_grad
+            if best_dev is not None:
+                d = dev_nll(theta)
+                if d < best_dev[0]:
+                    best_dev = (d, theta.copy())
             if rel_improve < tol:
                 break
+        if best_dev is not None:
+            theta = best_dev[1]
         self.W, self.T = unpack(theta)
         return self
 

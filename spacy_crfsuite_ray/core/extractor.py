@@ -214,12 +214,18 @@ class CRFExtractor:
             self.ent_tagger = LinearChainCRF()
         X = [self.example_to_features(sent) for sent in training_samples]
         y = [sentence_to_tags(sent) for sent in training_samples]
+        X_dev = y_dev = None
+        if dev_samples:
+            X_dev = [self.example_to_features(sent) for sent in dev_samples]
+            y_dev = [sentence_to_tags(sent) for sent in dev_samples]
         self.ent_tagger.fit(
             X,
             y,
             c1=self.component_config["c1"],
             c2=self.component_config["c2"],
             max_iterations=self.component_config["max_iter"],
+            X_dev=X_dev,
+            y_dev=y_dev,
         )
         return self
 

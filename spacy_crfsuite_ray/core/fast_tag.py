@@ -107,12 +107,20 @@ class FastTagger:
         counts = np.empty(n, dtype=np.int64)
         for i in range(n):
             before = len(flat)
+            bos_added = eos_added = False
             for off_idx, off in enumerate(self.offsets):
                 j = i + off
                 if j < 0:
-                    flat.extend(self.bos_ids)
+                    # the generic path sets the single dict key "BOS" no
+                    # matter how many window offsets fall out of range —
+                    # add the flag id exactly once (same for EOS)
+                    if not bos_added:
+                        flat.extend(self.bos_ids)
+                        bos_added = True
                 elif j >= n:
-                    flat.extend(self.eos_ids)
+                    if not eos_added:
+                        flat.extend(self.eos_ids)
+                        eos_added = True
                 else:
                     flat.extend(window[j][off_idx])
             counts[i] = len(flat) - before

@@ -110,19 +110,22 @@ class Featurizer:
         return out
 
     def apply_bilou_schema(self, message: Dict) -> List[str]:
+        """Offsets → BILOU tags. Misaligned annotations (start/end not on a
+        token boundary) are dropped by bilou_tags_from_offsets; surface a
+        warning for each so training data never loses gold silently (the
+        diagnostic the reference intended at features.py:110-124)."""
         tokens = tokens_without_cls(message)
-        tags = bilou_tags_from_offsets(tokens, get_entity_offsets(message))
-        collected = []
-        for t, tag in zip(tokens, tags):
-            if tag == "-":
-                collected.append(t)
-            elif collected:
-                text = " ".join(t.text for t in collected)
+        offsets = get_entity_offsets(message)
+        tags = bilou_tags_from_offsets(tokens, offsets)
+        starts = {t.start for t in tokens}
+        ends = {t.end for t in tokens}
+        for start, end, label in offsets:
+            if start not in starts or end not in ends:
                 warnings.warn(
-                    f"Misaligned entity annotation for '{text}' in sentence "
-                    f"\"{message['text']}\"; annotations must end at token boundaries."
+                    f"Misaligned entity annotation ({start}, {end}, {label!r}) "
+                    f"in sentence \"{message.get('text', '')}\" was dropped; "
+                    "annotations must start/end at token boundaries."
                 )
-                collected = []
         return tags
 
     @staticmethod

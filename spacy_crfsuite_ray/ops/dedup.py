@@ -107,11 +107,11 @@ def make_verify_jaccard(texts_ref):
     table instead of a broadcast."""
 
     def verify(batch: pa.Table) -> pa.Table:
-        import ray
+        from ..functions.broadcast import get_broadcast
 
         state = _VERIFY_CACHE.get(texts_ref.hex())
         if state is None:
-            state = {"texts": ray.get(texts_ref), "shingles": {}}
+            state = {"texts": get_broadcast(texts_ref), "shingles": {}}
             _VERIFY_CACHE[texts_ref.hex()] = state
         texts, shingles = state["texts"], state["shingles"]
 

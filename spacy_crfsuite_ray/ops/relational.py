@@ -210,7 +210,9 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> "rd.Dataset":
     seg_ref = ray.put(seg_of)
 
     def attach(batch: pa.Table) -> pa.Table:
-        segs = ray.get(seg_ref)
+        from ..functions.broadcast import get_broadcast
+
+        segs = get_broadcast(seg_ref)  # deserialized once per worker
         col = [segs.get(kk) for kk in batch.column("o_custkey").to_pylist()]
         return pa.table(
             {

@@ -85,9 +85,22 @@ def run_phase1(
     tagged_dir = os.path.join(out_dir, "tagged")
     os.makedirs(tagged_dir, exist_ok=True)
     stats = {"shards_run": 0, "shards_skipped": 0}
-    for shard_id, group in enumerate(_shard_groups(page_files, shards)):
+    groups = _shard_groups(page_files, shards)
+    # prune shard dirs beyond the current layout (a previous run with MORE
+    # shards would otherwise leak stale shards into phase 2's reads)
+    for name in os.listdir(tagged_dir):
+        if name.startswith("shard=") and int(name.split("=")[1]) >= len(groups):
+            shutil.rmtree(os.path.join(tagged_dir, name), ignore_errors=True)
+            stale = os.path.join(tagged_dir, "_manifest",
+                                 f"{name.split('=')[1]}.json")
+            if os.path.exists(stale):
+                os.remove(stale)
+    for shard_id, group in enumerate(groups):
         pid = f"{shard_id:05d}"
-        if manifest_valid(tagged_dir, pid):
+        if manifest_valid(tagged_dir, pid, input_refs=group):
+            # skip only when the manifest covers EXACTLY this input group —
+            # resuming with a different `shards` value must re-run, never
+            # mix old and new shard contents
             stats["shards_skipped"] += 1
             continue
         t0 = time.time()
@@ -422,5 +435,6 @@ def run_kg_pipeline(
 ) -> Dict:
     s1 = run_phase1(page_files, out_dir, shards=shards, model_path=model_path,
                     tag_concurrency=tag_concurrency)
-    s2 = run_phase2(out_dir)
+    # any phase-1 work invalidates phase 2's output regardless of manifests
+    s2 = run_phase2(out_dir, force=s1["shards_run"] > 0)
     return {**s1, **s2}

@@ -245,6 +245,15 @@ def generate_pages(
     if os.path.exists(done_marker) and not force:
         lock.close()
         return pages_dir, gold_path
+    # regenerating (different n_pages or force): stale part files from a
+    # larger previous fixture would silently corrupt the corpus
+    import shutil
+
+    shutil.rmtree(pages_dir, ignore_errors=True)
+    os.makedirs(pages_dir, exist_ok=True)
+    for name in os.listdir(out_dir):
+        if name.startswith(".done-"):
+            os.remove(os.path.join(out_dir, name))
     gold_rows: List[Dict] = []
     for file_idx, start in enumerate(range(0, n_pages, rows_per_file)):
         rows = [_page_rows(i) for i in range(start, min(start + rows_per_file, n_pages))]

@@ -119,9 +119,11 @@ def write_manifest(
     return path
 
 
-def manifest_valid(out_dir: str, partition_id: str) -> bool:
-    """True iff the manifest exists and every listed file is present with the
-    recorded size."""
+def manifest_valid(out_dir: str, partition_id: str,
+                   input_refs: Optional[List[str]] = None) -> bool:
+    """True iff the manifest exists, every listed file is present with the
+    recorded size, and (when given) the recorded input_refs match — a resume
+    with re-partitioned inputs must not reuse stale shard output."""
     path = os.path.join(out_dir, "_manifest", f"{partition_id}.json")
     if not os.path.exists(path):
         return False
@@ -129,6 +131,8 @@ def manifest_valid(out_dir: str, partition_id: str) -> bool:
         with open(path) as f:
             record = json.load(f)
     except (json.JSONDecodeError, OSError):
+        return False
+    if input_refs is not None and record.get("input_refs") != list(input_refs):
         return False
     part_dir = os.path.join(out_dir, f"shard={partition_id}")
     for entry in record.get("files", []):

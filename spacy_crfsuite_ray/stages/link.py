@@ -127,9 +127,9 @@ class ApplyCanonicalToTriples:
     object store; rewrites subj/obj to canonical surfaces + surrogate ids."""
 
     def __init__(self, mapping_ref):
-        import ray
+        from ..functions.broadcast import get_broadcast
 
-        self.mapping = ray.get(mapping_ref)  # {(type, norm): canonical}
+        self.mapping = get_broadcast(mapping_ref)  # {(type, norm): canonical}
 
     def _canon(self, value: str, type_: str) -> str:
         return self.mapping.get((type_, normalize_surface(value)),
@@ -161,9 +161,9 @@ class ApplyCanonicalToTriples:
 
 class ApplyCanonicalToMentions:
     def __init__(self, mapping_ref):
-        import ray
+        from ..functions.broadcast import get_broadcast
 
-        self.mapping = ray.get(mapping_ref)
+        self.mapping = get_broadcast(mapping_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         canon, ids = [], []

@@ -46,24 +46,38 @@ def train_extractor(examples: List[Dict], config: Optional[Dict] = None) -> CRFE
 
 
 def ensure_default_model(path: Optional[str] = None) -> str:
-    """Train + save the default KG model if missing; returns the path."""
+    """Train + save the default KG model if missing; returns the path.
+    Guarded against concurrent PROCESSES (fcntl) as well as threads."""
+    import fcntl
+
     path = path or default_model_path()
     with _LOCK:
-        if not os.path.exists(path):
-            from ..sources.pages import gold_training_examples
+        if os.path.exists(path):
+            return path
+        with open(path + ".lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not os.path.exists(path):  # re-check under the lock
+                from ..sources.pages import gold_training_examples
 
-            ext = train_extractor(gold_training_examples())
-            tmp = path + ".tmp.npz"
-            ext.ent_tagger.save(tmp)
-            os.replace(tmp, path)
+                ext = train_extractor(gold_training_examples())
+                tmp = f"{path}.tmp.{os.getpid()}.npz"
+                ext.ent_tagger.save(tmp)
+                os.replace(tmp, path)
     return path
+
+
+def _config_key(config: Optional[Dict]) -> str:
+    import json
+
+    return json.dumps(config, sort_keys=True, default=str) if config else ""
 
 
 def load_extractor(path: Optional[str] = None,
                    config: Optional[Dict] = None) -> CRFExtractor:
-    """Load a CRFExtractor from an npz artifact (process-level cache)."""
+    """Load a CRFExtractor from an npz artifact (process-level cache,
+    keyed by path AND config so different configs never share state)."""
     path = path or ensure_default_model()
-    key = os.path.abspath(path)
+    key = (os.path.abspath(path), _config_key(config))
     with _LOCK:
         if key not in _CACHE:
             _CACHE[key] = CRFExtractor(config, ent_tagger=LinearChainCRF.load(path))
