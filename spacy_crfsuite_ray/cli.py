@@ -134,7 +134,11 @@ def main(argv=None) -> int:
     k.set_defaults(fn=cmd_kg)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -306,6 +306,19 @@ class FastTagger:
             spans_list.append(spans)
             encoded.append(self.encode_sentence([t for t, _, _ in spans]))
             keep.append(si)
+        if encoded and not getattr(self, "_vocab_checked", False):
+            self._vocab_checked = True
+            n_tok = sum(len(c) for _, c in encoded)
+            n_ids = sum(len(ids) for ids, _ in encoded)
+            if n_tok >= 20 and n_ids / n_tok < 2.0:
+                import warnings
+
+                warnings.warn(
+                    "Almost no features match the model vocabulary "
+                    f"({n_ids / n_tok:.1f} ids/token) — the tagging config's "
+                    "feature set likely differs from the one the model was "
+                    "trained with; predictions will be near-uniform."
+                )
         S_list = self._state_scores_batch(encoded)
         marg_list = self.marginals_batch(S_list) if S_list else []
         out: List[List[Dict[str, Any]]] = [[] for _ in sentences]
