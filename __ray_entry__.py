@@ -87,18 +87,15 @@ def _kg_edges(sf_dir: str):
 
 def _kg_mentions(sf_dir: str):
     """Entity mentions exploded from the tagged-sentence checkpoint."""
-    import os as _os
-
-    import pyarrow.dataset as pds
     import ray.data as rd
 
-    from spacy_crfsuite_ray.pipelines.kg import _shard_files
+    from spacy_crfsuite_ray.pipelines.kg import _kind_files
     from spacy_crfsuite_ray.stages.relations import mentions_batch
 
     out = _kg_output(sf_dir)
-    files = _shard_files(out, "tagged")
+    files = _kind_files(out, "e")
     return rd.read_parquet(
-        files, columns=["url", "entities"], filter=pds.field("kind") == "e"
+        files, columns=["url", "entities"]
     ).map_batches(mentions_batch, batch_format="pyarrow") \
      .drop_columns(["confidence"])
 

@@ -57,7 +57,10 @@ from ..functions.hashing import node_id as _node_id
 
 TAG_BATCH_SIZE = 128  # input pages per UDF call (stage is fused with extract)
 TAG_CONCURRENCY = None  # default: fixed pool sized to cluster CPUs - 2
-PAGES_PER_BLOCK = 125  # read granularity: enough tasks to keep the pool busy
+# Read/task granularity. Each phase-1 task writes one file per kind, and every
+# downstream read pays driver-side planning PER FILE — so blocks are sized for
+# ~10 tasks/cpu load balance, not maximal fan-out.
+PAGES_PER_BLOCK = 2000
 
 _PHASE1_DIRS = ("tagged",)
 
@@ -137,10 +140,11 @@ def run_phase1(
         ds = ds.map_batches(derive_union_batch, batch_format="pyarrow")
         shard_dir = os.path.join(tagged_dir, f"shard={pid}")
         shutil.rmtree(shard_dir, ignore_errors=True)  # stale partial output
-        ds.write_parquet(shard_dir)
+        # hive-partition by kind: consumers prune whole files (entities vs
+        # triples vs surface counts) instead of row-filtering mixed files
+        ds.write_parquet(shard_dir, partition_cols=["kind"])
         rows = sum(
-            pq.read_metadata(os.path.join(shard_dir, f)).num_rows
-            for f in os.listdir(shard_dir) if f.endswith(".parquet")
+            pq.read_metadata(f).num_rows for f in _walk_parquet(shard_dir)
         )
         write_manifest(tagged_dir, pid, input_refs=group, rows_out=rows,
                        wall_s=time.time() - t0)
@@ -149,16 +153,36 @@ def run_phase1(
     return stats
 
 
+def _walk_parquet(root: str) -> List[str]:
+    out = []
+    for dirpath, _dirs, names in os.walk(root):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                out.append(os.path.join(dirpath, n))
+    return sorted(out)
+
+
 def _shard_files(out_dir: str, name: str) -> List[str]:
     root = os.path.join(out_dir, name)
     files = []
     for shard in sorted(os.listdir(root)):
         if shard.startswith("shard="):
-            d = os.path.join(root, shard)
-            files.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+            files.extend(_walk_parquet(os.path.join(root, shard)))
+    return files
+
+
+def _kind_files(out_dir: str, kind: str) -> List[str]:
+    """Partition-pruned file list: only shard=*/kind=<kind>/ files."""
+    root = os.path.join(out_dir, "tagged")
+    files = []
+    for shard in sorted(os.listdir(root)):
+        if shard.startswith("shard="):
+            d = os.path.join(root, shard, f"kind={kind}")
+            if os.path.isdir(d):
+                files.extend(
+                    os.path.join(d, f) for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
     return files
 
 
@@ -227,22 +251,28 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
     # banded path runs.
     import pyarrow.dataset as pds
 
-    tagged_files = _shard_files(out_dir, "tagged")
-    total_rows = sum(pq.read_metadata(f).num_rows for f in tagged_files)
-    small = total_rows <= DRIVER_MERGE_MAX_ROWS
+    surf_files = _kind_files(out_dir, "s")
+    triple_files = _kind_files(out_dir, "t")
     surf_cols = ["type", "norm", "cnt"]
-    kind_is = lambda k: pds.field("kind") == k  # noqa: E731
-    if small:
+    # Partition pruning makes the decision cheap: metadata row counts of the
+    # kind=s files alone.
+    surf_rows = sum(pq.read_metadata(f).num_rows for f in surf_files)
+    small = surf_rows <= DRIVER_MERGE_MAX_ROWS
+    surf_tbl = None
+    if small and surf_files:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(8) as pool:  # pq reads release the GIL
+            surf_parts = list(pool.map(
+                lambda f: pq.read_table(f, columns=surf_cols), surf_files
+            ))
         surf_tbl = (
-            pa.concat_tables(
-                pq.read_table(f, columns=surf_cols,
-                              filters=kind_is("s"))
-                for f in tagged_files
-            )
+            pa.concat_tables(surf_parts)
             .group_by(["type", "norm"])
             .aggregate([("cnt", "sum")])
             .rename_columns(["type", "norm", "cnt"])
         )
+    if small:
         from ..core.linking import mapping_from_surfaces
 
         mapping = mapping_from_surfaces(
@@ -254,34 +284,35 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
         )
     else:
         surf_ds = (
-            rd.read_parquet(tagged_files, columns=surf_cols,
-                            filter=kind_is("s"))
+            rd.read_parquet(surf_files, columns=surf_cols)
             .groupby(["type", "norm"])
             .sum("cnt")
             .map_batches(
                 lambda b: b.rename_columns(["type", "norm", "cnt"]),
                 batch_format="pyarrow",
             )
-            .materialize()
-        )
+        ).materialize()
         mapping = build_canonical_mapping(surf_ds)
     mapping_ref = ray.put(mapping)
 
-    # --- canonical triples (task-based rewrite, no actor spawn)
-    canonical_triples = (
-        rd.read_parquet(
-            tagged_files,
-            columns=["subj", "pred", "obj", "subj_type", "obj_type", "url",
-                     "confidence"],
-            filter=kind_is("t"),
-        )
-        .map_batches(make_canonical_apply(mapping_ref), batch_format="pyarrow")
-        .materialize()  # consumed twice (write + edges)
+    # --- canonical triples (task-based rewrite, no actor spawn); written in
+    # the same execution — edges re-read the (small) written output
+    triples_shard = os.path.join(dirs["triples"], "shard=all")
+    rd.read_parquet(
+        triple_files,
+        columns=["subj", "pred", "obj", "subj_type", "obj_type", "url",
+                 "confidence"],
+    ).map_batches(
+        make_canonical_apply(mapping_ref), batch_format="pyarrow"
+    ).write_parquet(triples_shard)
+    n_triples = sum(
+        pq.read_metadata(os.path.join(triples_shard, f)).num_rows
+        for f in os.listdir(triples_shard) if f.endswith(".parquet")
     )
-    canonical_triples.write_parquet(os.path.join(dirs["triples"], "shard=all"))
+    canonical_triples = rd.read_parquet(triples_shard)
     write_manifest(dirs["triples"], "all",
                    input_refs=[os.path.join(out_dir, "tagged")],
-                   rows_out=canonical_triples.count(),
+                   rows_out=n_triples,
                    wall_s=time.time() - t0)
 
     # --- edges: map side runs distributed (edge ids + per-batch (edge, url)
@@ -294,7 +325,6 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
     ).map_batches(edge_key_batch, batch_format="pyarrow") \
      .map_batches(edge_observation_combiner, batch_format="pyarrow")
 
-    n_triples = canonical_triples.count()
     if n_triples <= DRIVER_MERGE_MAX_ROWS:
         obs_tbl = pa.concat_tables(
             b if isinstance(b, pa.Table) else pa.Table.from_batches([b])

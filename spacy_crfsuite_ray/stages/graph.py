@@ -91,16 +91,26 @@ def write_manifest(
     files = []
     part_dir = os.path.join(out_dir, f"shard={partition_id}")
     if os.path.isdir(part_dir):
-        for name in sorted(os.listdir(part_dir)):
+        def _entry(name):
             path = os.path.join(part_dir, name)
-            if name.endswith(".parquet"):
-                # cheap integrity token: size + sha1 of the first 1MB (a full
-                # hash would serialize all output bytes through the driver)
-                with open(path, "rb") as f:
-                    digest = hashlib.sha1(f.read(1 << 20)).hexdigest()
-                files.append(
-                    {"file": name, "bytes": os.path.getsize(path), "sha1": digest}
-                )
+            # cheap integrity token: size + sha1 of the first 1MB (a full
+            # hash would serialize all output bytes through the driver)
+            with open(path, "rb") as f:
+                digest = hashlib.sha1(f.read(1 << 20)).hexdigest()
+            return {"file": name, "bytes": os.path.getsize(path),
+                    "sha1": digest}
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        names = []
+        for dirpath, _dirs, fnames in os.walk(part_dir):
+            for n in sorted(fnames):
+                if n.endswith(".parquet"):
+                    names.append(
+                        os.path.relpath(os.path.join(dirpath, n), part_dir)
+                    )
+        with ThreadPoolExecutor(8) as pool:
+            files = list(pool.map(_entry, sorted(names)))
     record = {
         "partition_id": partition_id,
         "input_refs": input_refs,

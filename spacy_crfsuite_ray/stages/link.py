@@ -130,24 +130,30 @@ class ApplyCanonicalToTriples:
         from ..functions.broadcast import get_broadcast
 
         self.mapping = get_broadcast(mapping_ref)  # {(type, norm): canonical}
+        # surfaces repeat heavily — memoize (value, type) → (canon, node_id)
+        self._memo: dict = {}
 
-    def _canon(self, value: str, type_: str) -> str:
-        return self.mapping.get((type_, normalize_surface(value)),
-                                normalize_surface(value))
+    def _resolve(self, value: str, type_: str):
+        key = (value, type_)
+        hit = self._memo.get(key)
+        if hit is None:
+            canon = self.mapping.get((type_, normalize_surface(value)),
+                                     normalize_surface(value))
+            hit = (canon, node_id(canon, type_))
+            if len(self._memo) < 1_000_000:  # bounded per-worker cache
+                self._memo[key] = hit
+        return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj_c, obj_c, subj_ids, obj_ids, edge_keys = [], [], [], [], []
-        for subj, st, obj, ot, pred in zip(
+        subj_c, obj_c, subj_ids, obj_ids = [], [], [], []
+        for subj, st, obj, ot in zip(
             batch.column("subj").to_pylist(),
             batch.column("subj_type").to_pylist(),
             batch.column("obj").to_pylist(),
             batch.column("obj_type").to_pylist(),
-            batch.column("pred").to_pylist(),
         ):
-            sc = self._canon(subj, st)
-            oc = self._canon(obj, ot)
-            sid = node_id(sc, st)
-            oid = node_id(oc, ot)
+            sc, sid = self._resolve(subj, st)
+            oc, oid = self._resolve(obj, ot)
             subj_c.append(sc)
             obj_c.append(oc)
             subj_ids.append(sid)

@@ -110,11 +110,10 @@ def test_manifests_written_and_resume_skips(fixture_pages, pipeline_out):
     assert stats == {"shards_run": 0, "shards_skipped": 2,
                      "tagged_dir": tagged_dir}
     # corrupt one shard → only it re-runs
+    from spacy_crfsuite_ray.pipelines.kg import _walk_parquet
+
     shard_dir = os.path.join(tagged_dir, "shard=00000")
-    victim = next(
-        os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
-        if f.endswith(".parquet")
-    )
+    victim = _walk_parquet(shard_dir)[0]
     os.remove(victim)
     assert not manifest_valid(tagged_dir, "00000")
     shutil.rmtree(shard_dir)
@@ -133,18 +132,11 @@ def test_phase2_idempotent_skip(fixture_pages, pipeline_out):
 
 def test_lang_filter_drops_non_english(fixture_pages, pipeline_out):
     res, out = pipeline_out
-    import pyarrow.dataset as pds
+    from spacy_crfsuite_ray.pipelines.kg import _kind_files
 
-    ent_files = []
-    tagged_dir = os.path.join(out, "tagged")
-    for shard in os.listdir(tagged_dir):
-        if shard.startswith("shard="):
-            d = os.path.join(tagged_dir, shard)
-            ent_files += [os.path.join(d, f) for f in os.listdir(d)
-                          if f.endswith(".parquet")]
     urls = set()
-    for f in ent_files:
-        t = pq.read_table(f, columns=["url"], filters=pds.field("kind") == "e")
+    for f in _kind_files(out, "e"):
+        t = pq.read_table(f, columns=["url"])
         urls.update(t.column("url").to_pylist())
     pages_dir, _, _ = fixture_pages
     non_en = set()

@@ -53,14 +53,10 @@ def test_resume_reshard_reruns_and_prunes(ray_session, tmp_path):
     from spacy_crfsuite_ray.pipelines.kg import _shard_files, run_phase1
     from spacy_crfsuite_ray.sources.pages import generate_pages, page_files
 
-    import pyarrow.dataset as pds
+    from spacy_crfsuite_ray.pipelines.kg import _kind_files
 
     def n_sentence_rows(out):
-        return sum(
-            pq.read_table(f, columns=["kind"],
-                          filters=pds.field("kind") == "e").num_rows
-            for f in _shard_files(out, "tagged")
-        )
+        return sum(pq.read_metadata(f).num_rows for f in _kind_files(out, "e"))
 
     pages_dir, _ = generate_pages(30, str(tmp_path / "p"), rows_per_file=10)
     files = page_files(pages_dir)
