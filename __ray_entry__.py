@@ -49,7 +49,9 @@ def _kg_output(sf_dir: str) -> str:
     from spacy_crfsuite_ray.pipelines.kg import run_kg_pipeline
 
     files, _, base = _pages_fixture(sf_dir)
-    out = os.path.join(base, "out")
+    # layout-versioned output dir: stale outputs from older on-disk layouts
+    # must never satisfy resume manifests
+    out = os.path.join(base, "out_v2")
     with open(os.path.join(base, ".kg.lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         run_kg_pipeline(files, out, shards=min(4, len(files)))
