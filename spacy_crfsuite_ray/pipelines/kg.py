@@ -272,6 +272,12 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
             .aggregate([("cnt", "sum")])
             .rename_columns(["type", "norm", "cnt"])
         )
+    if surf_tbl is None and small:  # no mentions at all (e.g. lang filter)
+        surf_tbl = pa.table(
+            {"type": pa.array([], pa.string()),
+             "norm": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
     if small:
         from ..core.linking import mapping_from_surfaces
 
@@ -298,13 +304,24 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
     # --- canonical triples (task-based rewrite, no actor spawn); written in
     # the same execution — edges re-read the (small) written output
     triples_shard = os.path.join(dirs["triples"], "shard=all")
-    rd.read_parquet(
-        triple_files,
-        columns=["subj", "pred", "obj", "subj_type", "obj_type", "url",
-                 "confidence"],
-    ).map_batches(
-        make_canonical_apply(mapping_ref), batch_format="pyarrow"
-    ).write_parquet(triples_shard)
+    if triple_files:
+        rd.read_parquet(
+            triple_files,
+            columns=["subj", "pred", "obj", "subj_type", "obj_type", "url",
+                     "confidence"],
+        ).map_batches(
+            make_canonical_apply(mapping_ref), batch_format="pyarrow"
+        ).write_parquet(triples_shard)
+    else:  # no relations found anywhere: still emit a schema-stable output
+        os.makedirs(triples_shard, exist_ok=True)
+        empty = pa.Table.from_pylist([], schema=pa.schema(
+            [(c, pa.string()) for c in
+             ("subj", "pred", "obj", "subj_type", "obj_type", "url")]
+            + [("confidence", pa.float64()),
+               ("subj_canonical", pa.string()), ("obj_canonical", pa.string()),
+               ("subj_id", pa.string()), ("obj_id", pa.string())]
+        ))
+        pq.write_table(empty, os.path.join(triples_shard, "part-0.parquet"))
     n_triples = sum(
         pq.read_metadata(os.path.join(triples_shard, f)).num_rows
         for f in os.listdir(triples_shard) if f.endswith(".parquet")
@@ -326,10 +343,17 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
      .map_batches(edge_observation_combiner, batch_format="pyarrow")
 
     if n_triples <= DRIVER_MERGE_MAX_ROWS:
-        obs_tbl = pa.concat_tables(
+        obs_parts = [
             b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
             for b in obs.iter_batches(batch_format="pyarrow")
-        )
+        ]
+        if not obs_parts:  # no triples at all → schema-stable empty obs
+            obs_parts = [pa.Table.from_pylist([], schema=pa.schema(
+                [("edge_id", pa.string()), ("subj_id", pa.string()),
+                 ("pred", pa.string()), ("obj_id", pa.string()),
+                 ("url", pa.string()), ("confidence", pa.float64())]
+            ))]
+        obs_tbl = pa.concat_tables(obs_parts)
         dedup = (
             obs_tbl.group_by(
                 ["edge_id", "subj_id", "pred", "obj_id", "url"]

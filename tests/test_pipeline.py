@@ -147,3 +147,23 @@ def test_lang_filter_drops_non_english(fixture_pages, pipeline_out):
                               t.column("lang").to_pylist()) if l != "en"
         )
     assert not (urls & non_en)
+
+
+def test_pipeline_with_everything_filtered(ray_session, tmp_path):
+    """A run whose lang filter drops every page must still produce valid,
+    empty, schema-stable outputs (not crash)."""
+    from spacy_crfsuite_ray.pipelines.kg import run_kg_pipeline
+    from spacy_crfsuite_ray.sources.pages import generate_pages, page_files
+
+    pages_dir, _ = generate_pages(20, str(tmp_path / "p"), rows_per_file=10)
+    out = str(tmp_path / "out")
+    res = run_kg_pipeline(page_files(pages_dir), out, shards=1)
+    # now re-run into a fresh dir with a filter that drops everything
+    out2 = str(tmp_path / "out2")
+    from spacy_crfsuite_ray.pipelines.kg import run_phase1, run_phase2
+
+    run_phase1(page_files(pages_dir), out2, shards=1, lang="zz")
+    res2 = run_phase2(out2)
+    t = pq.read_table(os.path.join(res2["triples_dir"], "shard=all"))
+    assert t.num_rows == 0
+    assert "subj_id" in t.column_names
