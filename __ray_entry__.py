@@ -129,6 +129,36 @@ def _domain_stats(sf_dir: str):
     )
 
 
+def _kg_oracle_prf(sf_dir: str):
+    """North-rule gate, self-reported: Ray pipeline triples vs the
+    sequential single-process oracle (and vs planted gold templates)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from spacy_crfsuite_ray.pipelines.oracle import run_oracle, triple_prf
+
+    files, gold_path, _ = _pages_fixture(sf_dir)
+    out = _kg_output(sf_dir)
+    ray_triples = _read_out(out, "triples").to_pandas().to_dict("records")
+    oracle = run_oracle(files)
+    vs_oracle = triple_prf(ray_triples, oracle["triples"],
+                           keys=("subj_canonical", "pred", "obj_canonical"))
+    gold = pq.read_table(gold_path).to_pylist()
+    vs_gold = triple_prf(ray_triples, gold)
+    return pd.DataFrame(
+        [
+            {"comparison": "vs_sequential_oracle",
+             "precision": round(vs_oracle["precision"], 6),
+             "recall": round(vs_oracle["recall"], 6),
+             "n_pred": vs_oracle["n_pred"], "n_ref": vs_oracle["n_gold"]},
+            {"comparison": "vs_gold_templates",
+             "precision": round(vs_gold["precision"], 6),
+             "recall": round(vs_gold["recall"], 6),
+             "n_pred": vs_gold["n_pred"], "n_ref": vs_gold["n_gold"]},
+        ]
+    )
+
+
 def _tagger_report(sf_dir: str):
     """Train on the deterministic gold set, return the per-tag eval report
     (reference README.md:110-122 quality gate as a table)."""
@@ -167,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _kg_edges,
         "kg_mentions": _kg_mentions,
         "kg_domain_stats": _domain_stats,
+        "kg_oracle_prf": _kg_oracle_prf,
         "tagger_report": _tagger_report,
         # --- text analysis over documents
         "doc_stats": text.doc_stats,
