@@ -96,6 +96,12 @@ def _kg_mentions(sf_dir: str):
 
     out = _kg_output(sf_dir)
     files = _kind_files(out, "e")
+    if not files:  # everything filtered: schema-stable empty result
+        import pyarrow as pa
+
+        return pa.table({"url": pa.array([], pa.string()),
+                         "value": pa.array([], pa.string()),
+                         "type": pa.array([], pa.string())})
     return rd.read_parquet(
         files, columns=["url", "entities"]
     ).map_batches(mentions_batch, batch_format="pyarrow") \

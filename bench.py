@@ -123,12 +123,8 @@ def run_scaling() -> dict:
     independent processes), which would measure the hardware, not the
     engine."""
     levels = [4, 16]
-    runs = {}
-    # This sandbox shows ±10% run-to-run wall noise (shared host). The short
-    # high-parallelism run is noise-sensitive (its error is multiplied by 4
-    # in the ratio) → best-of-2 there; the long low-parallelism run amortizes
-    # noise and runs once.
-    for cpus in [4, 16, 16]:
+
+    def one(cpus):
         proc = subprocess.run(
             [sys.executable, __file__, "--kg-only", f"--cpus={cpus}"],
             capture_output=True, text=True,
@@ -138,25 +134,42 @@ def run_scaling() -> dict:
             raise RuntimeError(
                 f"bench subprocess (cpus={cpus}) failed: {proc.stderr[-2000:]}"
             )
-        result = json.loads(lines[-1])
-        prev = runs.get(cpus)
-        if prev is None or result["pages_per_s"] > prev["pages_per_s"]:
-            runs[cpus] = result
-    t_lo = runs[levels[0]]["pages_per_s"]
-    t_hi = runs[levels[1]]["pages_per_s"]
-    speedup = t_hi / t_lo if t_lo else 0.0
-    efficiency = speedup / (levels[1] / levels[0])
+        return json.loads(lines[-1])
+
+    # ONE (lo, hi) measurement round by default (no best-of-N selection
+    # anywhere — asymmetric selection would bias the ratio). Set
+    # SCR_SCALING_ROUNDS=2 for a mean over two rounds when the time budget
+    # allows; this shared host shows ±10% wall noise on individual runs.
+    rounds = []
+    last = {}
+    for _ in range(int(os.environ.get("SCR_SCALING_ROUNDS", "1"))):
+        lo = one(levels[0])
+        hi = one(levels[1])
+        eff = (hi["pages_per_s"] / lo["pages_per_s"]) / (levels[1] / levels[0])
+        rounds.append(
+            {
+                "pages_per_s": {str(levels[0]): lo["pages_per_s"],
+                                str(levels[1]): hi["pages_per_s"]},
+                "kg_sec": {str(levels[0]): lo["value"],
+                           str(levels[1]): hi["value"]},
+                "efficiency": round(eff, 4),
+            }
+        )
+        last = {levels[0]: lo, levels[1]: hi}
+    efficiency = sum(r["efficiency"] for r in rounds) / len(rounds)
+    speedup = efficiency * (levels[1] / levels[0])
     return {
         "metric": "scaling_efficiency",
         "value": round(efficiency, 4),
         "unit": "ratio",
-        "sf": runs[levels[1]]["sf"],
+        "sf": last[levels[1]]["sf"],
         "num_cpus": levels[1],
         "levels": levels,
-        "pages_per_s": {str(k): v["pages_per_s"] for k, v in runs.items()},
-        "triples_per_s": {str(k): v["triples_per_s"] for k, v in runs.items()},
-        "kg_sec": {str(k): v["value"] for k, v in runs.items()},
+        "pages_per_s": {str(k): v["pages_per_s"] for k, v in last.items()},
+        "triples_per_s": {str(k): v["triples_per_s"] for k, v in last.items()},
+        "kg_sec": {str(k): v["value"] for k, v in last.items()},
         "speedup": round(speedup, 3),
+        "rounds": rounds,
     }
 
 

@@ -19,6 +19,10 @@ import os
 import sys
 
 
+class UserInputError(ValueError):
+    """Bad user input (unsupported file type, malformed config, ...)."""
+
+
 def _load_config(path):
     if not path:
         return None
@@ -31,7 +35,10 @@ def cmd_train(args) -> int:
     from .core.tokenizer import RegexTokenizer
     from .sources.readers import read_file
 
-    examples = read_file(args.input)
+    try:
+        examples = read_file(args.input)
+    except ValueError as e:
+        raise UserInputError(str(e)) from e
     tok = RegexTokenizer()
     samples = [gold_example_to_crf_tokens(dict(e), tokenizer=tok)
                for e in examples]
@@ -67,8 +74,12 @@ def cmd_eval(args) -> int:
     ext = CRFExtractor(_load_config(args.config),
                        ent_tagger=LinearChainCRF.load(args.model))
     tok = RegexTokenizer()
+    try:
+        examples = read_file(args.input)
+    except ValueError as e:
+        raise UserInputError(str(e)) from e
     samples = [gold_example_to_crf_tokens(dict(e), tokenizer=tok)
-               for e in read_file(args.input)]
+               for e in examples]
     _stats, report = ext.eval(samples)
     print(report)
     return 0
@@ -136,7 +147,9 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     try:
         return args.fn(args)
-    except (FileNotFoundError, ValueError) as e:
+    except (FileNotFoundError, IsADirectoryError, UserInputError) as e:
+        # user-input problems get a one-line error; engine bugs keep their
+        # tracebacks
         print(f"error: {e}", file=sys.stderr)
         return 2
 

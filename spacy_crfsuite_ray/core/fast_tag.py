@@ -307,9 +307,10 @@ class FastTagger:
             encoded.append(self.encode_sentence([t for t, _, _ in spans]))
             keep.append(si)
         if encoded and not getattr(self, "_vocab_checked", False):
-            self._vocab_checked = True
             n_tok = sum(len(c) for _, c in encoded)
             n_ids = sum(len(ids) for ids, _ in encoded)
+            if n_tok >= 20:  # only a large-enough sample disarms the check
+                self._vocab_checked = True
             if n_tok >= 20 and n_ids / n_tok < 2.0:
                 import warnings
 

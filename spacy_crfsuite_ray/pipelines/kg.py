@@ -63,6 +63,9 @@ TAG_CONCURRENCY = None  # default: fixed pool sized to cluster CPUs - 2
 PAGES_PER_BLOCK = 2000
 
 _PHASE1_DIRS = ("tagged",)
+# On-disk layout tag recorded in every phase-1 manifest; bumping it invalidates
+# manifests written by older layouts so resume can never silently mix them.
+LAYOUT_VERSION = "kind-partitioned-v2"
 
 
 def _shard_groups(files: List[str], shards: int) -> List[List[str]]:
@@ -100,7 +103,8 @@ def run_phase1(
                 os.remove(stale)
     for shard_id, group in enumerate(groups):
         pid = f"{shard_id:05d}"
-        if manifest_valid(tagged_dir, pid, input_refs=group):
+        if manifest_valid(tagged_dir, pid, input_refs=group,
+                          layout=LAYOUT_VERSION):
             # skip only when the manifest covers EXACTLY this input group —
             # resuming with a different `shards` value must re-run, never
             # mix old and new shard contents
@@ -147,7 +151,8 @@ def run_phase1(
             pq.read_metadata(f).num_rows for f in _walk_parquet(shard_dir)
         )
         write_manifest(tagged_dir, pid, input_refs=group, rows_out=rows,
-                       wall_s=time.time() - t0)
+                       wall_s=time.time() - t0,
+                       extra={"layout": LAYOUT_VERSION})
         stats["shards_run"] += 1
     stats["tagged_dir"] = tagged_dir
     return stats
@@ -160,15 +165,6 @@ def _walk_parquet(root: str) -> List[str]:
             if n.endswith(".parquet"):
                 out.append(os.path.join(dirpath, n))
     return sorted(out)
-
-
-def _shard_files(out_dir: str, name: str) -> List[str]:
-    root = os.path.join(out_dir, name)
-    files = []
-    for shard in sorted(os.listdir(root)):
-        if shard.startswith("shard="):
-            files.extend(_walk_parquet(os.path.join(root, shard)))
-    return files
 
 
 def _kind_files(out_dir: str, kind: str) -> List[str]:
@@ -189,7 +185,7 @@ def _kind_files(out_dir: str, kind: str) -> List[str]:
 # Below this many surface-count rows, phase 2's linking/nodes run on the
 # driver (they fit trivially); above it, the distributed banded-groupby path
 # runs. Both produce identical mappings (tests/test_pipeline.py).
-DRIVER_MERGE_MAX_ROWS = int(os.environ.get("SCR_DRIVER_MERGE_MAX_ROWS", 2_000_000))
+DRIVER_MERGE_MAX_ROWS = int(os.environ.get("SCR_DRIVER_MERGE_MAX_ROWS", 5_000_000))
 
 
 def build_canonical_mapping(surf: "rd.Dataset"):
@@ -249,8 +245,6 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
     # ~ unique surfaces × batches; below the threshold the merge + linking
     # runs on the driver (no Ray executions), above it the distributed
     # banded path runs.
-    import pyarrow.dataset as pds
-
     surf_files = _kind_files(out_dir, "s")
     triple_files = _kind_files(out_dir, "t")
     surf_cols = ["type", "norm", "cnt"]
@@ -312,6 +306,7 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
         ).map_batches(
             make_canonical_apply(mapping_ref), batch_format="pyarrow"
         ).write_parquet(triples_shard)
+        canonical_triples = rd.read_parquet(triples_shard)
     else:  # no relations found anywhere: still emit a schema-stable output
         os.makedirs(triples_shard, exist_ok=True)
         empty = pa.Table.from_pylist([], schema=pa.schema(
@@ -322,11 +317,8 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
                ("subj_id", pa.string()), ("obj_id", pa.string())]
         ))
         pq.write_table(empty, os.path.join(triples_shard, "part-0.parquet"))
-    n_triples = sum(
-        pq.read_metadata(os.path.join(triples_shard, f)).num_rows
-        for f in os.listdir(triples_shard) if f.endswith(".parquet")
-    )
-    canonical_triples = rd.read_parquet(triples_shard)
+        canonical_triples = rd.read_parquet(triples_shard)
+    n_triples = canonical_triples.count() if triple_files else 0
     write_manifest(dirs["triples"], "all",
                    input_refs=[os.path.join(out_dir, "tagged")],
                    rows_out=n_triples,

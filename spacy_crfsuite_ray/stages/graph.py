@@ -38,16 +38,27 @@ EDGE_SCHEMA = pa.schema(
 )
 
 
+_EDGE_ID_MEMO: dict = {}
+
+
 def edge_key_batch(batch: pa.Table) -> pa.Table:
-    """canonical triples → (edge_id, subj_id, pred, obj_id, url, confidence)."""
-    eids = [
-        edge_id(s, p, o)
-        for s, p, o in zip(
-            batch.column("subj_id").to_pylist(),
-            batch.column("pred").to_pylist(),
-            batch.column("obj_id").to_pylist(),
-        )
-    ]
+    """canonical triples → (edge_id, subj_id, pred, obj_id, url, confidence).
+    Edge keys repeat heavily (unique edges ≪ triples) — sha1 memoized per
+    worker with a bounded cache."""
+    memo = _EDGE_ID_MEMO
+    eids = []
+    for s, p, o in zip(
+        batch.column("subj_id").to_pylist(),
+        batch.column("pred").to_pylist(),
+        batch.column("obj_id").to_pylist(),
+    ):
+        key = (s, p, o)
+        eid = memo.get(key)
+        if eid is None:
+            eid = edge_id(s, p, o)
+            if len(memo) < 2_000_000:
+                memo[key] = eid
+        eids.append(eid)
     return pa.table(
         {
             "edge_id": pa.array(eids, pa.string()),
@@ -130,10 +141,12 @@ def write_manifest(
 
 
 def manifest_valid(out_dir: str, partition_id: str,
-                   input_refs: Optional[List[str]] = None) -> bool:
+                   input_refs: Optional[List[str]] = None,
+                   layout: Optional[str] = None) -> bool:
     """True iff the manifest exists, every listed file is present with the
-    recorded size, and (when given) the recorded input_refs match — a resume
-    with re-partitioned inputs must not reuse stale shard output."""
+    recorded size, and (when given) the recorded input_refs and layout tag
+    match — a resume with re-partitioned inputs or an older on-disk layout
+    must not reuse stale shard output."""
     path = os.path.join(out_dir, "_manifest", f"{partition_id}.json")
     if not os.path.exists(path):
         return False
@@ -143,6 +156,8 @@ def manifest_valid(out_dir: str, partition_id: str,
     except (json.JSONDecodeError, OSError):
         return False
     if input_refs is not None and record.get("input_refs") != list(input_refs):
+        return False
+    if layout is not None and record.get("layout") != layout:
         return False
     part_dir = os.path.join(out_dir, f"shard={partition_id}")
     for entry in record.get("files", []):

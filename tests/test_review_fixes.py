@@ -50,7 +50,7 @@ def test_resume_reshard_reruns_and_prunes(ray_session, tmp_path):
     contents (review finding #2)."""
     import pyarrow.parquet as pq
 
-    from spacy_crfsuite_ray.pipelines.kg import _shard_files, run_phase1
+    from spacy_crfsuite_ray.pipelines.kg import run_phase1
     from spacy_crfsuite_ray.sources.pages import generate_pages, page_files
 
     from spacy_crfsuite_ray.pipelines.kg import _kind_files
