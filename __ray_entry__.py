@@ -250,7 +250,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_by_source": f"""
             SELECT source,
-                   sum(len(regexp_extract_all(text, {TOKEN_SQL}))) AS total_tokens
+                   CAST(sum(len(regexp_extract_all(text, {TOKEN_SQL})))
+                        AS BIGINT) AS total_tokens
             FROM documents GROUP BY source
         """,
         "quality_filter": f"""
@@ -292,16 +293,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c2,
-                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                        AS BIGINT)) AS sum_revenue_c4,
-                   sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sum_disc_c2,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c2,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                                       + 0.5) AS BIGINT)) AS BIGINT) AS sum_revenue_c4,
+                   CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_disc_c2,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "segment_revenue": """
             SELECT c.c_mktsegment,
-                   sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_c2,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_c2,
                    count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
@@ -311,14 +315,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p_retailprice DESC, p_partkey LIMIT 10
         """,
         "events_daily": """
-            SELECT event_type, date_trunc('day', ts) AS day,
-                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_value_c4,
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_c4,
                    count(*) AS n_events
             FROM events GROUP BY event_type, date_trunc('day', ts)
         """,
         "user_sessions": """
             SELECT user_id,
-                   sum(new_session) AS n_sessions,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM (
                 SELECT user_id,

@@ -271,7 +271,9 @@ def events_daily(sf_dir: str) -> "rd.Dataset":
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
-                "day": batch.column("day"),
+                # floor_temporal yields timestamp[s]; emit [us] to match the
+                # oracle's date_trunc dtype exactly (driver hashes dtypes too)
+                "day": pc.cast(batch.column("day"), pa.timestamp("us")),
                 "sum_value_c4": batch.column("value"),
                 "n_events": batch.column("n"),
             }
