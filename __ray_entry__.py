@@ -232,7 +232,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": relational.events_daily,
         "user_sessions": relational.user_sessions,
         "top_orders_per_segment": relational.top_orders_per_segment,
+        "priority_semijoin": relational.priority_semijoin,
+        "customers_no_orders": relational.customers_no_orders,
+        "shipping_priority": relational.shipping_priority,
     }
+
+
+def _quality_score_sql() -> str:
+    """Mirror of ops.text.quality_score: same RE2 patterns, same float
+    expression tree, same floor(x*1e6 + 0.5) integer scaling."""
+    from spacy_crfsuite_ray.ops.text import (
+        ALPHA_TOKEN_PATTERN, STOPWORD_PATTERN, WHITESPACE_PATTERN,
+    )
+
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, {TOKEN_SQL})) AS t,
+                   len(regexp_extract_all(text, '{ALPHA_TOKEN_PATTERN}'))
+                       AS n_alpha,
+                   len(regexp_extract_all(text, '{STOPWORD_PATTERN}'))
+                       AS n_stop,
+                   len(regexp_extract_all(text, '{WHITESPACE_PATTERN}'))
+                       AS n_ws
+            FROM documents),
+        r AS (
+            SELECT doc_id,
+                   CAST(n_alpha AS DOUBLE) / greatest(t, 1) AS alpha,
+                   CAST(n_stop AS DOUBLE) / greatest(t, 1) AS stop,
+                   CAST(n_chars - n_ws AS DOUBLE) / greatest(t, 1) AS mlen
+            FROM s)
+        SELECT doc_id,
+               CAST(floor(alpha * 1000000.0 + 0.5) AS BIGINT) AS alpha_ratio_c6,
+               CAST(floor(stop * 1000000.0 + 0.5) AS BIGINT)
+                   AS stopword_ratio_c6,
+               CAST(floor(mlen * 1000000.0 + 0.5) AS BIGINT)
+                   AS mean_token_len_c6,
+               CAST(floor((0.5 * alpha
+                           + 0.3 * least(stop * 5.0, 1.0)
+                           + 0.2 * least(mlen / 8.0, 1.0)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS quality_c6
+        FROM r
+    """
+
+
+def _lang_id_sql() -> str:
+    """Mirror of ops.text.detect_lang: CJK check on the first 400 chars,
+    then a stopword-profile vote over the first 200 distinct lowercased
+    words (ties broken by fixed profile order, 'und' when no profile hits)."""
+    from spacy_crfsuite_ray.ops.text import _LANG_PROFILES
+
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(
+            f"'{w}'" for w in sorted(_LANG_PROFILES[lang])
+        ) + "]"
+
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_matches(substr(text, 1, 400), '[一-鿿]') AS is_zh,
+                   list_distinct(list_slice(
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> ''),
+                       1, 200)) AS words
+            FROM documents),
+        s AS (
+            SELECT doc_id, is_zh,
+                   len(list_intersect(words, {lst('en')})) AS s_en,
+                   len(list_intersect(words, {lst('de')})) AS s_de,
+                   len(list_intersect(words, {lst('fr')})) AS s_fr,
+                   len(list_intersect(words, {lst('es')})) AS s_es
+            FROM w)
+        SELECT doc_id,
+               CASE WHEN is_zh THEN 'zh'
+                    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                        THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM s
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -265,6 +346,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
+        "quality_score": _quality_score_sql(),
+        "lang_id": _lang_id_sql(),
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
             FROM documents GROUP BY text
@@ -342,5 +425,36 @@ def oracle_sql() -> dict[str, str]:
                                                    o.o_orderkey) AS rn
                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             ) WHERE rn <= 3
+        """,
+        "priority_semijoin": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o.o_orderkey
+                            AND l_discount >= 0.06)
+            GROUP BY o_orderpriority
+        """,
+        "customers_no_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_totalprice > 300000.0)
+            GROUP BY c_mktsegment
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o_orderkey
+            ORDER BY revenue_c4 DESC, o_orderkey
+            LIMIT 10
         """,
     }

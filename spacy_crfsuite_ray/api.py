@@ -13,10 +13,6 @@ from .core.tokenizer import RegexTokenizer
 from .stages.tag import tag_sentences
 from .state.model import load_extractor
 
-# FastTagger per extractor instance — keeps the per-token-text encoding
-# cache warm across calls (the whole point of the fast path when serving)
-_FAST_CACHE: Dict[int, FastTagger] = {}
-
 
 def parse_texts(
     texts: List[str],
@@ -27,10 +23,13 @@ def parse_texts(
     config allows it (identical output either way)."""
     extractor = load_extractor(model_path, config)
     if config_is_cacheable(extractor.component_config["features"]):
-        fast = _FAST_CACHE.get(id(extractor))
+        # the warm FastTagger lives ON the extractor so the association
+        # can never outlive it (an id()-keyed cache could serve a stale
+        # tagger for a recycled id after garbage collection)
+        fast = getattr(extractor, "_fast_tagger", None)
         if fast is None:
             fast = FastTagger(extractor)
-            _FAST_CACHE[id(extractor)] = fast
+            extractor._fast_tagger = fast
         ents = fast.tag_texts(texts)
     else:
         ents = tag_sentences(extractor, RegexTokenizer(), texts)

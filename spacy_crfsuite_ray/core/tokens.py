@@ -67,5 +67,12 @@ def append_cls(tokens: list) -> list:
 
 
 def tokens_without_cls(message: Dict) -> list:
-    """Strip the trailing CLS sentinel (reference features.py:127-129)."""
+    """Strip the trailing CLS sentinel (reference features.py:127-129).
+
+    NOTE: the strip is unconditional, exactly like the reference — so
+    pre-tokenized input that never had ``__CLS__`` appended (the CoNLL
+    reader path) loses its LAST token and tag. This is deliberate reference
+    parity (see tests/test_io_scheme_conll.py), documented also on the CoNLL
+    reader; callers feeding their own pre-tokenized examples should append
+    the sentinel via ``append_cls`` if they want the final token kept."""
     return message.get("tokens")[:-1]

@@ -65,19 +65,25 @@ def _perm_params(num_perm: int) -> np.ndarray:
 _PERM_CACHE: dict = {}
 
 
-def minhash_signature(shingles: Iterable[str], num_perm: int = 128) -> np.ndarray:
-    """Classic minhash signature (uint64[num_perm]) over a shingle set.
-    Permutations are (a*h + b) mod 2^64 with odd a — vectorized, no Python
-    bigint math."""
+def minhash_signature_from_hashes(hv: np.ndarray, num_perm: int = 128) -> np.ndarray:
+    """Minhash signature (uint64[num_perm]) from pre-hashed shingles —
+    lets pipelines hash each shingle set ONCE and reuse it for both the
+    signature and exact-Jaccard verification."""
     if num_perm not in _PERM_CACHE:
         _PERM_CACHE[num_perm] = _perm_params(num_perm)
     a, b = _PERM_CACHE[num_perm]
-    hv = _shingle_hashes(shingles)
     if hv.size == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     with np.errstate(over="ignore"):
         vals = a[:, None] * hv[None, :] + b[:, None]
     return vals.min(axis=1)
+
+
+def minhash_signature(shingles: Iterable[str], num_perm: int = 128) -> np.ndarray:
+    """Classic minhash signature (uint64[num_perm]) over a shingle set.
+    Permutations are (a*h + b) mod 2^64 with odd a — vectorized, no Python
+    bigint math."""
+    return minhash_signature_from_hashes(_shingle_hashes(shingles), num_perm)
 
 
 def minhash_bands(sig: np.ndarray, bands: int = 16) -> List[str]:

@@ -23,10 +23,9 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.hashing import (
-    hamming64,
-    jaccard,
+    _shingle_hashes,
     minhash_bands,
-    minhash_signature,
+    minhash_signature_from_hashes,
     simhash64,
     text_md5,
     word_shingles,
@@ -58,11 +57,13 @@ def exact_dedup(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    def first_wins(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    from ray.data.aggregate import Count, Min
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": [int(group["doc_id"].min())],
-                "n_dupes": [int(len(group))],
+                "doc_id": batch.column("min(doc_id)"),
+                "n_dupes": batch.column("count()"),
             }
         )
 
@@ -70,63 +71,66 @@ def exact_dedup(sf_dir: str) -> "rd.Dataset":
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(key, batch_format="pyarrow")
         .groupby("h")
-        .map_groups(first_wins, batch_format="pandas")
+        .aggregate(Min("doc_id"), Count())
+        .map_batches(rename, batch_format="pyarrow")
     )
 
 
-def _shingle_set(text: str) -> set:
-    return set(word_shingles(text.lower(), 3))
-
-
-def minhash_bands_batch(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
-    """(doc_id, text) → one row per (band_key, doc_id)."""
-    band_keys: List[str] = []
-    doc_ids: List[int] = []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        sig = minhash_signature(word_shingles(text.lower(), 3), num_perm)
-        for key in minhash_bands(sig, bands):
-            band_keys.append(key)
-            doc_ids.append(doc_id)
+def _shingle_hash_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, sh) where ``sh`` is the doc's UNIQUE word
+    3-gram sha1-64 hashes, sorted, serialized as uint64 little-endian bytes.
+    Hashing once here feeds BOTH minhash banding and exact-Jaccard
+    verification (Jaccard over 64-bit shingle hashes equals Jaccard over the
+    shingles themselves up to a ~2^-64 collision)."""
+    ids = batch.column("doc_id").to_pylist()
+    out = []
+    for text in batch.column("text").to_pylist():
+        hv = _shingle_hashes(word_shingles(text.lower(), 3))
+        hv.sort()
+        out.append(hv.tobytes())
     return pa.table(
         {
-            "band": pa.array(band_keys, pa.string()),
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "sh": pa.array(out, pa.binary()),
         }
     )
+
+
+def _jaccard_hashed(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard over two sorted-unique uint64 shingle-hash arrays
+    (two-empty-sets convention matches ``jaccard``: 1.0)."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
 
 
 _VERIFY_CACHE: dict = {}
 
 
-def make_verify_jaccard(texts_ref):
-    """Task-based candidate verification against a broadcast {doc_id: text}
-    dict; texts and shingle sets memoized per worker process. At 100TB scale
-    this becomes a co-partitioned join of candidate pairs against the docs
-    table instead of a broadcast."""
+def make_verify_jaccard(sh_ref):
+    """Small-corpus candidate verification against a broadcast
+    {doc_id: shingle-hash bytes} dict (memoized per worker process). Only
+    used below ``VERIFY_BROADCAST_MAX_DOCS``; above it the co-partitioned
+    ``_verify_pairs_joined`` join path runs instead."""
 
     def verify(batch: pa.Table) -> pa.Table:
         from ..functions.broadcast import get_broadcast
 
-        state = _VERIFY_CACHE.get(texts_ref.hex())
-        if state is None:
-            state = {"texts": get_broadcast(texts_ref), "shingles": {}}
-            _VERIFY_CACHE[texts_ref.hex()] = state
-        texts, shingles = state["texts"], state["shingles"]
-
-        def sset(doc_id):
-            s = shingles.get(doc_id)
-            if s is None:
-                s = _shingle_set(texts[doc_id])
-                shingles[doc_id] = s
-            return s
+        sh = _VERIFY_CACHE.get(sh_ref.hex())
+        if sh is None:
+            sh = get_broadcast(sh_ref)
+            _VERIFY_CACHE[sh_ref.hex()] = sh
 
         a_ids, b_ids, sims = [], [], []
         for a, b in zip(
             batch.column("a").to_pylist(), batch.column("b").to_pylist()
         ):
-            j = jaccard(sset(a), sset(b))
+            j = _jaccard_hashed(
+                np.frombuffer(sh[a], dtype=np.uint64),
+                np.frombuffer(sh[b], dtype=np.uint64),
+            )
             a_ids.append(a)
             b_ids.append(b)
             sims.append(round(j, 6))
@@ -139,6 +143,57 @@ def make_verify_jaccard(texts_ref):
         )
 
     return verify
+
+
+# Above this many docs, pair verification switches from a broadcast dict to
+# the distributed hash-join path (candidates ⋈ shingle hashes, twice) — the
+# broadcast grows with the corpus and must not ship to every worker at scale.
+VERIFY_BROADCAST_MAX_DOCS = 2_000_000
+
+
+def _verify_pairs_joined(candidates: "rd.Dataset", sh_ds: "rd.Dataset",
+                         num_partitions: int | None = None):
+    """100TB verification path: hash-join candidate pairs against the
+    (doc_id, sh) shingle-hash table on each side, then compute exact Jaccard
+    per row. Nothing corpus-sized ever lands on the driver or is broadcast;
+    both joins are hash-partitioned shuffles on a single int key."""
+    from ..functions.cluster import join_partitions
+
+    if num_partitions is None:
+        num_partitions = join_partitions()
+    j = candidates.join(
+        sh_ds, join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("doc_id",),
+    )
+    j = j.join(
+        sh_ds, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("doc_id",),
+        left_suffix="_a", right_suffix="_b",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sims = [
+            round(
+                _jaccard_hashed(
+                    np.frombuffer(x, dtype=np.uint64),
+                    np.frombuffer(y, dtype=np.uint64),
+                ),
+                6,
+            )
+            for x, y in zip(
+                batch.column("sh_a").to_pylist(),
+                batch.column("sh_b").to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 
@@ -253,22 +308,39 @@ def minhash_dedup_pairs(
     threshold: float = DEFAULT_THRESHOLD,
 ) -> "rd.Dataset":
     """Near-duplicate pairs: minhash LSH banding for candidates, exact word
-    3-gram Jaccard verification ≥ threshold."""
+    3-gram Jaccard verification ≥ threshold.
+
+    Shingles are sha1-64 hashed ONCE per doc (``_shingle_hash_rows``); the
+    hashed table feeds both the band keys and verification, so the raw text
+    never moves past the first map. Verification is a broadcast-dict probe
+    below ``VERIFY_BROADCAST_MAX_DOCS`` and a candidates ⋈ shingles
+    hash-join above it (tests force both and assert identical output)."""
     import ray
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    # broadcast doc texts for verification (small side at test scale)
-    texts = {}
-    for b in docs.iter_batches(batch_format="pyarrow"):
-        texts.update(
-            zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist())
-        )
-    texts_ref = ray.put(texts)
-
-    band_ds = docs.map_batches(
-        lambda b: minhash_bands_batch(b, num_perm, bands),
-        batch_format="pyarrow",
+    sh_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _shingle_hash_rows, batch_format="pyarrow"
     ).materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        band_keys: List[str] = []
+        doc_ids: List[int] = []
+        for doc_id, shb in zip(
+            batch.column("doc_id").to_pylist(), batch.column("sh").to_pylist()
+        ):
+            sig = minhash_signature_from_hashes(
+                np.frombuffer(shb, dtype=np.uint64), num_perm
+            )
+            for key in minhash_bands(sig, bands):
+                band_keys.append(key)
+                doc_ids.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(band_keys, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+    band_ds = sh_ds.map_batches(band_rows, batch_format="pyarrow").materialize()
     if band_ds.count() <= PAIRGEN_DRIVER_MAX_ROWS:
         candidates = rd.from_arrow(_minhash_pairs_driver(_collect_table(band_ds)))
     else:
@@ -276,11 +348,21 @@ def minhash_dedup_pairs(
             band_ds.groupby("band").map_groups(_band_pairs,
                                                batch_format="pandas")
         )
+
+    if sh_ds.count() <= VERIFY_BROADCAST_MAX_DOCS:
+        sh_map: dict = {}
+        for b in sh_ds.iter_batches(batch_format="pyarrow"):
+            sh_map.update(
+                zip(b.column("doc_id").to_pylist(), b.column("sh").to_pylist())
+            )
+        verified = candidates.map_batches(
+            make_verify_jaccard(ray.put(sh_map)), batch_format="pyarrow"
+        )
+    else:
+        verified = _verify_pairs_joined(candidates, sh_ds)
+
     import pyarrow.compute as pc
 
-    verified = candidates.map_batches(
-        make_verify_jaccard(texts_ref), batch_format="pyarrow"
-    )
     return verified.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("jaccard"), threshold)),
         batch_format="pyarrow",
@@ -365,12 +447,33 @@ def simhash_dedup_pairs(
     )
 
 
+# Above this many embedding rows the all-pairs broadcast scan (exact, used
+# as the oracle twin) hands over to the hyperplane-LSH bucketed path.
+EMB_ALLPAIRS_MAX_ROWS = 1_000_000
+EMB_LSH_TABLES = 16
+EMB_LSH_SEED = 11
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.40) -> "rd.Dataset":
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
 
-    Test-scale implementation broadcasts the (normalized, float64) matrix and
-    scans batches against it — one matmul per batch. The 100TB path replaces
-    the broadcast with LSH bucketing (see ann.lsh_buckets)."""
+    Below ``EMB_ALLPAIRS_MAX_ROWS``: exact — broadcast the (normalized,
+    float64) matrix and scan batches against it, one matmul per batch
+    (matches the quadratic SQL oracle bit-for-bit). Above: the bucketed
+    ``embedding_dup_pairs_lsh`` path — per-pair work bounded by bucket size,
+    nothing corpus-sized broadcast or driver-held; exact cosine verification
+    inside buckets keeps precision 1.0, recall is the banding dial
+    (tests measure it against the exact path)."""
+    import pyarrow.parquet as pq
+
+    if pq.read_metadata(
+        f"{sf_dir}/embeddings.parquet"
+    ).num_rows > EMB_ALLPAIRS_MAX_ROWS:
+        return embedding_dup_pairs_lsh(sf_dir, threshold)
+    return _embedding_dup_pairs_exact(sf_dir, threshold)
+
+
+def _embedding_dup_pairs_exact(sf_dir: str, threshold: float) -> "rd.Dataset":
     import pyarrow.parquet as pq
     import ray
 
@@ -418,3 +521,81 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.40) -> "rd.Dataset":
         fn_constructor_kwargs={"ref": ref},
         concurrency=(1, 8),
     )
+
+
+def _emb_n_planes(n_rows: int) -> int:
+    """Few planes + many tables: dup thresholds are LOW-cosine (≈0.4), where
+    per-plane collision probability is only ~0.65, so recall comes from table
+    count, not plane count. Bucket size targets ~512 vectors."""
+    return max(2, int(np.log2(max(4.0, n_rows / 512.0))))
+
+
+def embedding_dup_pairs_lsh(
+    sf_dir: str,
+    threshold: float = 0.40,
+    n_tables: int = EMB_LSH_TABLES,
+    n_planes: int | None = None,
+) -> "rd.Dataset":
+    """Hyperplane-LSH bucketed embedding near-dup: each vector lands in ONE
+    bucket per table (map_batches), candidate pairs form only inside a
+    bucket (bounded groupby groups), cosine is verified exactly there, and a
+    final (a, b) groupby dedupes pairs found by multiple tables.
+
+    Recall for a pair at cosine c is 1-(1-p^b)^T with p = 1 - arccos(c)/pi;
+    at the 0.4 defaults (b from ``_emb_n_planes``, T=16) that is ≥0.95 for
+    test-scale bucket counts — measured against the exact path in tests."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    if n_planes is None:
+        n_planes = _emb_n_planes(n_rows)
+    pf = pq.ParquetFile(path)
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first.column(0)[0])
+    rng = np.random.RandomState(EMB_LSH_SEED)
+    tables = rng.normal(size=(n_tables, n_planes, dim))  # tiny; ships in fn
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.asarray(batch.column("embedding").to_pylist(),
+                          dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms[:, None]
+        keys, ids, vv = [], [], []
+        powers = 1 << np.arange(n_planes)
+        for ti in range(n_tables):
+            bits = (vecs @ tables[ti].T) > 0
+            buckets = (bits * powers).sum(axis=1)
+            keys.append(ti * (1 << n_planes) + buckets)
+            ids.append(vids)
+            vv.extend(vecs.tolist())
+        return pa.table(
+            {
+                "bk": pa.array(np.concatenate(keys), pa.int64()),
+                "vec_id": pa.array(np.concatenate(ids), pa.int64()),
+                "v": pa.array(vv, pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(
+                {"a": "int64", "b": "int64"}
+            )
+        ids = group["vec_id"].to_numpy()
+        mat = np.stack(group["v"].to_numpy())
+        sims = mat @ mat.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        a = np.minimum(ids[ai], ids[bi])
+        b = np.maximum(ids[ai], ids[bi])
+        return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+
+    bucketed = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return _dedupe_pairs_ds(bucketed)

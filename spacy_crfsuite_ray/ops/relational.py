@@ -238,6 +238,141 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> "rd.Dataset":
     )
 
 
+def _join_parts() -> int:
+    """Hash-join partition count — one aggregator actor per partition, so it
+    must be bounded by cluster CPUs (see functions.cluster.join_partitions)."""
+    from ..functions.cluster import join_partitions
+
+    return join_partitions()
+
+
+def priority_semijoin(sf_dir: str, min_discount: float = 0.06) -> "rd.Dataset":
+    """Distributed SEMI-join (TPC-H Q4 shape): orders having ≥1 lineitem at
+    or above ``min_discount``, counted per o_orderpriority. The qualifying
+    lineitem side is column-pruned and filtered BEFORE the shuffle; the semi
+    join itself is Ray's hash-shuffle join (no broadcast of an
+    SF-proportional key set)."""
+
+    def qualifying(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("l_discount"), min_discount)
+        return batch.filter(keep).select(["l_orderkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_discount"]
+    ).map_batches(qualifying, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    ds = orders.join(
+        li, join_type="left_semi", num_partitions=_join_parts(),
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    ).groupby("o_orderpriority").count()
+    return ds.map_batches(
+        lambda b: b.rename_columns(["o_orderpriority", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+
+def customers_no_orders(sf_dir: str,
+                        min_totalprice: float = 300000.0) -> "rd.Dataset":
+    """Distributed ANTI-join (TPC-H Q22 shape): customers with NO order
+    above ``min_totalprice``, counted per market segment. The orders side
+    is filtered before the shuffle."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("o_totalprice"), min_totalprice)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    ds = cust.join(
+        orders, join_type="left_anti", num_partitions=_join_parts(),
+        on=("c_custkey",), right_on=("o_custkey",),
+    ).groupby("c_mktsegment").count()
+    return ds.map_batches(
+        lambda b: b.rename_columns(["c_mktsegment", "n_customers"]),
+        batch_format="pyarrow",
+    )
+
+
+SHIPPING_CUTOFF = "1998-06-01"
+
+
+def shipping_priority(sf_dir: str, k: int = 10,
+                      segment: str = "BUILDING") -> "rd.Dataset":
+    """TPC-H Q3 shape: 3-table pipeline — semi-join orders against the
+    filtered customer segment, combiner-aggregate lineitem revenue per order
+    BEFORE the join shuffle, inner-join, final groupby + global top-k.
+    Revenue is integer-scaled (c4) for exact oracle equality."""
+    import numpy as np
+
+    cutoff = pa.scalar(np.datetime64(SHIPPING_CUTOFF, "us"))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), segment)
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey",
+                                             "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.less(b.column("o_orderdate"), cutoff)
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    ).join(
+        cust, join_type="left_semi", num_partitions=_join_parts(),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_shipdate"), cutoff))
+        rev = _to_scaled_int(
+            pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            ),
+            10000,
+        )
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
+        return t.group_by("l_orderkey").aggregate(
+            [("rev", "sum")]
+        ).rename_columns(["l_orderkey", "rev"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    joined = li.join(
+        orders.select_columns(["o_orderkey"]), join_type="inner",
+        num_partitions=_join_parts(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    ds = joined.groupby("l_orderkey").sum("rev")
+    return (
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b.column("l_orderkey"),
+                    "revenue_c4": b.column("sum(rev)"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue_c4", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def events_daily(sf_dir: str) -> "rd.Dataset":
     """Tumbling 1-day window per event_type: count + sum(value)."""
 

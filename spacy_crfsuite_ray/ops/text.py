@@ -180,37 +180,62 @@ def lang_id(sf_dir: str) -> "rd.Dataset":
 
 _STOPWORDS = _LANG_PROFILES["en"]
 
+# RE2 patterns shared verbatim with the DuckDB oracle (both engines are RE2,
+# so counts agree by construction):
+#  - an "alpha token" is a maximal letter run delimited by word boundaries
+#  - stopword hits are boundary-delimited case-insensitive matches
+#  - total token chars = n_chars - whitespace chars (the token pattern
+#    covers every non-whitespace char exactly once)
+ALPHA_TOKEN_PATTERN = r"\b\p{L}+\b"
+STOPWORD_PATTERN = (
+    r"(?i)\b(" + "|".join(sorted(_STOPWORDS)) + r")\b"
+)
+WHITESPACE_PATTERN = r"\s"
+
 
 def quality_score(sf_dir: str) -> "rd.Dataset":
-    """Richer quality metrics (stopword ratio, mean token length, composite
-    score) — rows-only check (not cleanly SQL-expressible)."""
-    import re
+    """Richer quality metrics: alpha-token ratio, stopword ratio, mean token
+    length, composite score. Fully vectorized Arrow kernels; ratios emitted
+    integer-scaled (floor(x*1e6 + 0.5) as int64) so the SQL oracle hashes
+    identically — the float expression trees match the oracle op-for-op."""
 
-    tok_re = re.compile(TOKEN_PATTERN)
+    def c6(x):
+        return pc.cast(
+            pc.floor(pc.add(pc.multiply(x, 1e6), 0.5)), pa.int64()
+        )
 
     def score(batch: pa.Table) -> pa.Table:
-        doc_ids, alpha_r, stop_r, mean_len, scores = [], [], [], [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            tokens = tok_re.findall(text)
-            n = len(tokens) or 1
-            alpha = sum(1 for t in tokens if t.isalpha()) / n
-            stop = sum(1 for t in tokens if t.lower() in _STOPWORDS) / n
-            mlen = sum(len(t) for t in tokens) / n
-            s = 0.5 * alpha + 0.3 * min(stop * 5, 1.0) + 0.2 * min(mlen / 8, 1.0)
-            doc_ids.append(doc_id)
-            alpha_r.append(round(alpha, 6))
-            stop_r.append(round(stop, 6))
-            mean_len.append(round(mlen, 6))
-            scores.append(round(s, 6))
+        text = batch.column("text")
+
+        def cnt(pattern):
+            return pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        t = cnt(TOKEN_PATTERN)
+        n = pc.cast(pc.max_element_wise(t, 1), pa.float64())
+        alpha = pc.divide(pc.cast(cnt(ALPHA_TOKEN_PATTERN), pa.float64()), n)
+        stop = pc.divide(pc.cast(cnt(STOPWORD_PATTERN), pa.float64()), n)
+        mlen = pc.divide(
+            pc.cast(pc.subtract(n_chars, cnt(WHITESPACE_PATTERN)),
+                    pa.float64()),
+            n,
+        )
+        quality = pc.add(
+            pc.add(
+                pc.multiply(0.5, alpha),
+                pc.multiply(0.3, pc.min_element_wise(
+                    pc.multiply(stop, 5.0), 1.0)),
+            ),
+            pc.multiply(0.2, pc.min_element_wise(
+                pc.divide(mlen, 8.0), 1.0)),
+        )
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "alpha_ratio": pa.array(alpha_r, pa.float64()),
-                "stopword_ratio": pa.array(stop_r, pa.float64()),
-                "mean_token_len": pa.array(mean_len, pa.float64()),
-                "quality": pa.array(scores, pa.float64()),
+                "doc_id": batch.column("doc_id"),
+                "alpha_ratio_c6": c6(alpha),
+                "stopword_ratio_c6": c6(stop),
+                "mean_token_len_c6": c6(mlen),
+                "quality_c6": c6(quality),
             }
         )
 

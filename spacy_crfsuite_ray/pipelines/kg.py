@@ -87,18 +87,21 @@ def run_phase1(
 ) -> Dict:
     """pages → one kind-tagged union output per shard (tagged sentences +
     raw triples + surface-count combiner rows), ONE execution per shard."""
+    if not page_files:
+        raise ValueError("run_phase1: no input page files")
     model_path = model_path or ensure_default_model()
     tagged_dir = os.path.join(out_dir, "tagged")
     os.makedirs(tagged_dir, exist_ok=True)
     stats = {"shards_run": 0, "shards_skipped": 0}
     groups = _shard_groups(page_files, shards)
     # prune shard dirs beyond the current layout (a previous run with MORE
-    # shards would otherwise leak stale shards into phase 2's reads)
+    # shards would otherwise leak stale shards into phase 2's reads);
+    # non-numeric shard suffixes (foreign dirs) are left untouched
     for name in os.listdir(tagged_dir):
-        if name.startswith("shard=") and int(name.split("=")[1]) >= len(groups):
+        suffix = name.split("=", 1)[1] if name.startswith("shard=") else ""
+        if suffix.isdigit() and int(suffix) >= len(groups):
             shutil.rmtree(os.path.join(tagged_dir, name), ignore_errors=True)
-            stale = os.path.join(tagged_dir, "_manifest",
-                                 f"{name.split('=')[1]}.json")
+            stale = os.path.join(tagged_dir, "_manifest", f"{suffix}.json")
             if os.path.exists(stale):
                 os.remove(stale)
     for shard_id, group in enumerate(groups):

@@ -5,6 +5,13 @@ sentence block; ``-DOCSTART-`` and ``#`` lines are skipped; 3 columns =
 CoNLL-02 ``(word, pos, tag)``, 4 columns = CoNLL-03 ``(word, pos, chunk, tag)``;
 tokens at cumulative offsets ``idx += len(word) + 1``; every non-O tag becomes
 a single-token entity dict; text = space-join of the words.
+
+KNOWN REFERENCE QUIRK (preserved deliberately): downstream featurization
+strips the trailing ``__CLS__`` sentinel UNCONDITIONALLY
+(core/tokens.py:tokens_without_cls), but pre-tokenized CoNLL examples never
+receive the sentinel — so each sentence's LAST token and its gold tag are
+dropped during training/eval, exactly as in the reference
+(tests/test_io_scheme_conll.py pins this behavior).
 """
 
 from __future__ import annotations

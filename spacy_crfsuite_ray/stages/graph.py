@@ -164,6 +164,13 @@ def manifest_valid(out_dir: str, partition_id: str,
         fp = os.path.join(part_dir, entry["file"])
         if not os.path.exists(fp) or os.path.getsize(fp) != entry["bytes"]:
             return False
+        if "sha1" in entry:  # verify the recorded first-1MB digest (cheap)
+            try:
+                with open(fp, "rb") as f:
+                    if hashlib.sha1(f.read(1 << 20)).hexdigest() != entry["sha1"]:
+                        return False
+            except OSError:
+                return False
     return True
 
 

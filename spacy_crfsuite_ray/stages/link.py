@@ -124,7 +124,12 @@ def flatten_chains(mapping_df: pd.DataFrame) -> Dict[Tuple[str, str], str]:
 
 class ApplyCanonicalToTriples:
     """Actor-pool stage: broadcast mapping read once per actor from the
-    object store; rewrites subj/obj to canonical surfaces + surrogate ids."""
+    object store; rewrites subj/obj to canonical surfaces + surrogate ids.
+
+    The rewrite is dictionary-encoded: surfaces repeat heavily, so each
+    batch resolves only its UNIQUE (value, type) pairs in Python and expands
+    them back with a vectorized ``take`` — the per-row cost is an int32
+    gather, not a dict probe + sha1."""
 
     def __init__(self, mapping_ref):
         from ..functions.broadcast import get_broadcast
@@ -144,41 +149,48 @@ class ApplyCanonicalToTriples:
                 self._memo[key] = hit
         return hit
 
+    def _resolve_arrays(self, value_col, type_col):
+        """Resolve per UNIQUE (value, type): dictionary-encode the combined
+        key, resolve each dictionary entry once, gather with take."""
+        import pyarrow.compute as pc
+
+        # \x1f never appears in type labels, so rsplit-once is unambiguous
+        comb = pc.binary_join_element_wise(
+            pc.cast(value_col, pa.string()), pc.cast(type_col, pa.string()),
+            "\x1f",
+        )
+        enc = comb.combine_chunks().dictionary_encode() \
+            if isinstance(comb, pa.ChunkedArray) else comb.dictionary_encode()
+        canon, ids = [], []
+        for s in enc.dictionary.to_pylist():
+            v, t = s.rsplit("\x1f", 1)
+            c, i = self._resolve(v, t)
+            canon.append(c)
+            ids.append(i)
+        idx = enc.indices
+        return (
+            pc.take(pa.array(canon, pa.string()), idx),
+            pc.take(pa.array(ids, pa.string()), idx),
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj_c, obj_c, subj_ids, obj_ids = [], [], [], []
-        for subj, st, obj, ot in zip(
-            batch.column("subj").to_pylist(),
-            batch.column("subj_type").to_pylist(),
-            batch.column("obj").to_pylist(),
-            batch.column("obj_type").to_pylist(),
-        ):
-            sc, sid = self._resolve(subj, st)
-            oc, oid = self._resolve(obj, ot)
-            subj_c.append(sc)
-            obj_c.append(oc)
-            subj_ids.append(sid)
-            obj_ids.append(oid)
-        batch = batch.append_column("subj_canonical", pa.array(subj_c, pa.string()))
-        batch = batch.append_column("obj_canonical", pa.array(obj_c, pa.string()))
-        batch = batch.append_column("subj_id", pa.array(subj_ids, pa.string()))
-        batch = batch.append_column("obj_id", pa.array(obj_ids, pa.string()))
+        subj_c, subj_ids = self._resolve_arrays(
+            batch.column("subj"), batch.column("subj_type")
+        )
+        obj_c, obj_ids = self._resolve_arrays(
+            batch.column("obj"), batch.column("obj_type")
+        )
+        batch = batch.append_column("subj_canonical", subj_c)
+        batch = batch.append_column("obj_canonical", obj_c)
+        batch = batch.append_column("subj_id", subj_ids)
+        batch = batch.append_column("obj_id", obj_ids)
         return batch
 
 
-class ApplyCanonicalToMentions:
-    def __init__(self, mapping_ref):
-        from ..functions.broadcast import get_broadcast
-
-        self.mapping = get_broadcast(mapping_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        canon, ids = [], []
-        for value, type_ in zip(
-            batch.column("value").to_pylist(), batch.column("type").to_pylist()
-        ):
-            c = self.mapping.get((type_, normalize_surface(value)),
-                                 normalize_surface(value))
-            canon.append(c)
-            ids.append(node_id(c, type_))
-        batch = batch.append_column("canonical", pa.array(canon, pa.string()))
-        return batch.append_column("node_id", pa.array(ids, pa.string()))
+class ApplyCanonicalToMentions(ApplyCanonicalToTriples):
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        canon, ids = self._resolve_arrays(
+            batch.column("value"), batch.column("type")
+        )
+        batch = batch.append_column("canonical", canon)
+        return batch.append_column("node_id", ids)

@@ -23,6 +23,51 @@ def test_parse_document_absolute_offsets():
     assert {"Alice Martin", "Acme Corp", "Bob Okafor", "Lakeside"} <= values
 
 
+def test_http_serve_parse_and_status():
+    """End-to-end over loopback HTTP: the reference /parse + /status shapes
+    (reference serve.py:63-93) from the stdlib handler."""
+    import json
+    import threading
+    from http.client import HTTPConnection
+
+    from spacy_crfsuite_ray.serve import make_server
+
+    srv = make_server()
+    host, port = srv.server_address
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = HTTPConnection(host, port, timeout=30)
+        conn.request("GET", "/status")
+        status = json.loads(conn.getresponse().read())
+        assert status["status"] == "OK"
+
+        body = json.dumps({"text": ["Alice Martin works at Acme Corp.", ""]})
+        conn.request("POST", "/parse", body,
+                     {"Content-Type": "application/json"})
+        out = json.loads(conn.getresponse().read())
+        assert [d["text"] for d in out["data"]] == [
+            "Alice Martin works at Acme Corp.", ""]
+        values = {(e["value"], e["entity"])
+                  for e in out["data"][0]["entities"]}
+        assert ("Alice Martin", "PER") in values
+        assert out["data"][1]["entities"] == []
+
+        # single-string request wraps into a one-element list (ref parity)
+        conn.request("POST", "/parse", json.dumps({"text": "Acme Corp"}),
+                     {"Content-Type": "application/json"})
+        single = json.loads(conn.getresponse().read())
+        assert len(single["data"]) == 1
+
+        conn.request("POST", "/parse", "notjson")
+        assert conn.getresponse().status == 400
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_tokenizer_abc_extension_point():
     class Upper(Tokenizer):
         def tokenize(self, message, attribute="text"):

@@ -71,3 +71,40 @@ def test_pairgen_distributed_equals_driver(ray_session, monkeypatch):
 
     assert small_min.equals(large_min)
     assert small_sim.equals(large_sim)
+
+
+def test_minhash_join_verify_equals_broadcast(ray_session, monkeypatch):
+    """The distributed candidates ⋈ shingles verification must produce the
+    SAME pairs AND jaccard values as the broadcast-dict probe."""
+    from spacy_crfsuite_ray.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["a", "b", "jaccard"]
+
+    def run():
+        df = dedup.minhash_dedup_pairs(sf).to_pandas()
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(dedup, "VERIFY_BROADCAST_MAX_DOCS", 0)
+    joined = run()
+    assert broadcast.equals(joined)
+    assert len(broadcast) > 0  # the fixture plants near-dups
+
+
+def test_embedding_lsh_precision_and_recall(ray_session, monkeypatch):
+    """The bucketed LSH path emits ONLY true pairs (exact in-bucket cosine →
+    precision 1.0) and recovers nearly all pairs the exact path finds."""
+    from spacy_crfsuite_ray.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+
+    def pairs(fn):
+        df = fn(sf).to_pandas()
+        return set(zip(df["a"], df["b"]))
+
+    exact = pairs(dedup.embedding_dup_pairs)
+    monkeypatch.setattr(dedup, "EMB_ALLPAIRS_MAX_ROWS", 0)
+    lsh = pairs(dedup.embedding_dup_pairs)
+    assert lsh <= exact  # precision 1.0 (exact verification inside buckets)
+    assert len(lsh) / len(exact) >= 0.9  # measured ≥0.95 at defaults

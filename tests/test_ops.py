@@ -39,9 +39,11 @@ def _assert_matches_oracle(ray_result, sql, con):
 
 @pytest.mark.parametrize("name", [
     "doc_stats", "lang_count", "token_count_by_source", "quality_filter",
-    "doc_fingerprint", "exact_dedup", "embedding_dup_pairs", "ann_topk",
+    "doc_fingerprint", "quality_score", "lang_id",
+    "exact_dedup", "embedding_dup_pairs", "ann_topk",
     "lineitem_agg", "segment_revenue", "top_parts", "events_daily",
     "user_sessions", "top_orders_per_segment",
+    "priority_semijoin", "customers_no_orders", "shipping_priority",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
