@@ -193,6 +193,35 @@ def _tagger_report(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _tagger_report_heldout(sf_dir: str):
+    """Generalization gate: train on 12 templates, eval on 5 templates the
+    model never saw (disjoint structures AND fill seed) — a realistic F1
+    floor that memorization cannot satisfy (see tests/test_train_pipelines)."""
+    import pandas as pd
+
+    from spacy_crfsuite_ray.core.extractor import (
+        CRFExtractor, gold_example_to_crf_tokens,
+    )
+    from spacy_crfsuite_ray.core.tokenizer import RegexTokenizer
+    from spacy_crfsuite_ray.sources.pages import gold_split_examples
+
+    tok = RegexTokenizer()
+    train, dev = gold_split_examples()
+    tr = [gold_example_to_crf_tokens(dict(e), tokenizer=tok) for e in train]
+    dv = [gold_example_to_crf_tokens(dict(e), tokenizer=tok) for e in dev]
+    ext = CRFExtractor({"c1": 0.003, "c2": 0.03, "max_iter": 150})
+    ext.train(tr)
+    stats, _ = ext.eval(dv)
+    return pd.DataFrame(
+        [
+            {"tag": tag, "precision": round(s["precision"], 6),
+             "recall": round(s["recall"], 6), "f1": round(s["f1-score"], 6),
+             "support": int(s["support"])}
+            for tag, s in stats.items()
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from spacy_crfsuite_ray.ops import ann, dedup, multimodal, relational, text
 
@@ -205,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_domain_stats": _domain_stats,
         "kg_oracle_prf": _kg_oracle_prf,
         "tagger_report": _tagger_report,
+        "tagger_report_heldout": _tagger_report_heldout,
         # --- text analysis over documents
         "doc_stats": text.doc_stats,
         "lang_count": text.lang_count,

@@ -102,10 +102,11 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
     if not kg_only:
         qs = entrymod.queries()
         for name in [
-            "doc_stats", "token_count_by_source", "exact_dedup",
-            "minhash_dedup_pairs", "simhash_dedup_pairs",
+            "doc_stats", "token_count_by_source", "quality_score",
+            "exact_dedup", "minhash_dedup_pairs", "simhash_dedup_pairs",
             "embedding_dup_pairs", "ann_topk", "ann_lsh", "media_features",
             "lineitem_agg", "segment_revenue", "top_parts", "events_daily",
+            "priority_semijoin", "customers_no_orders", "shipping_priority",
         ]:
             t0 = time.time()
             _consume(qs[name](SF_DIR))
@@ -136,13 +137,14 @@ def run_scaling() -> dict:
             )
         return json.loads(lines[-1])
 
-    # ONE (lo, hi) measurement round by default (no best-of-N selection
-    # anywhere — asymmetric selection would bias the ratio). Set
-    # SCR_SCALING_ROUNDS=2 for a mean over two rounds when the time budget
-    # allows; this shared host shows ±10% wall noise on individual runs.
+    # TWO (lo, hi) measurement rounds by default, reported as the mean with
+    # each round published (no best-of-N selection anywhere — asymmetric
+    # selection would bias the ratio). This shared host shows ±10% wall
+    # noise on individual runs, so a single round can sit on either side of
+    # the 0.8 bar; override with SCR_SCALING_ROUNDS.
     rounds = []
     last = {}
-    for _ in range(int(os.environ.get("SCR_SCALING_ROUNDS", "1"))):
+    for _ in range(int(os.environ.get("SCR_SCALING_ROUNDS", "2"))):
         lo = one(levels[0])
         hi = one(levels[1])
         eff = (hi["pages_per_s"] / lo["pages_per_s"]) / (levels[1] / levels[0])

@@ -133,14 +133,34 @@ def _fill(template: str, rng: random.Random) -> Tuple[str, List[Dict], List[Dict
 def gold_training_examples(n: int = 300, seed: str = "train") -> List[Dict]:
     """Annotated sentences for tagger training — same vocabularies/templates
     as the pages, so the tagger models the pipeline's domain."""
-    out = []
     templates = [t for t, *_ in RELATION_TEMPLATES] + FILLER_TEMPLATES
+    return _examples_from(templates, n, seed)
+
+
+def _examples_from(templates: List[str], n: int, seed: str) -> List[Dict]:
+    out = []
     for i in range(n):
         rng = random.Random(f"{seed}-{i}")
-        template = templates[i % len(templates)]
-        sent, entities, _ = _fill(template, rng)
+        sent, entities, _ = _fill(templates[i % len(templates)], rng)
         out.append({"text": sent, "entities": entities})
     return out
+
+
+def gold_split_examples(
+    n_train: int = 160, n_dev: int = 80
+) -> Tuple[List[Dict], List[Dict]]:
+    """Template-DISJOINT train/dev split for an honest generalization gate:
+    dev sentences come from structures the tagger never saw in training
+    (and from a different fill seed), so memorizing training sentences
+    cannot score — the tagger must generalize from context features."""
+    train_templates = [t for t, *_ in RELATION_TEMPLATES[:7]] \
+        + FILLER_TEMPLATES[:5]
+    dev_templates = [t for t, *_ in RELATION_TEMPLATES[7:]] \
+        + FILLER_TEMPLATES[5:]
+    return (
+        _examples_from(train_templates, n_train, "split-train"),
+        _examples_from(dev_templates, n_dev, "split-dev"),
+    )
 
 
 def _page_rows(i: int) -> Dict:

@@ -82,3 +82,54 @@ def load_extractor(path: Optional[str] = None,
         if key not in _CACHE:
             _CACHE[key] = CRFExtractor(config, ent_tagger=LinearChainCRF.load(path))
         return _CACHE[key]
+
+
+def convert_reference_weights(
+    state_features: Dict,
+    transition_features: Dict,
+    classes: List[str],
+    out_path: str,
+) -> str:
+    """Convert a reference (sklearn_crfsuite.CRF) model's learned weights to
+    this engine's npz artifact.
+
+    The reference persists models as joblib pickles of sklearn_crfsuite.CRF
+    (/root/reference/spacy_crfsuite/crf_extractor.py:96-117); unpickling them
+    requires the sklearn_crfsuite classes, which do not exist in this
+    environment. On a machine that CAN load the pickle, extract the three
+    public attributes and feed them here::
+
+        crf = joblib.load("model.bz2").ent_tagger  # sklearn_crfsuite.CRF
+        convert_reference_weights(
+            crf.state_features_,       # {(attr, label): weight}
+            crf.transition_features_,  # {(label_from, label_to): weight}
+            list(crf.classes_),
+            "model.npz",
+        )
+
+    Attribute strings are python-crfsuite ItemSequence names ("key=value" /
+    weighted numeric keys) — the exact vocabulary this engine's encoder
+    emits (core/crf.py flatten_features), so converted weights score
+    identically under our Viterbi/forward-backward inference.
+    """
+    import numpy as np
+
+    labels = list(classes)
+    lab_idx = {lab: i for i, lab in enumerate(labels)}
+    vocab: Dict[str, int] = {}
+    for attr, _lab in state_features:
+        if attr not in vocab:
+            vocab[attr] = len(vocab)
+    W = np.zeros((len(vocab), len(labels)))
+    for (attr, lab), w in state_features.items():
+        W[vocab[attr], lab_idx[lab]] = float(w)
+    T = np.zeros((len(labels), len(labels)))
+    for (a, b), w in transition_features.items():
+        T[lab_idx[a], lab_idx[b]] = float(w)
+    model = LinearChainCRF()
+    model.labels = labels
+    model.vocab = vocab
+    model.W = W
+    model.T = T
+    model.save(out_path)
+    return out_path

@@ -77,3 +77,44 @@ def test_cli_train_eval_tag_roundtrip(tmp_path, capsys):
     tagged = json.loads(capsys.readouterr().out)
     assert tagged[0]["value"] == "chinese"
     assert tagged[0]["entity"] == "cuisine"
+
+
+def test_convert_reference_weights_roundtrip(tmp_path):
+    """The reference-weights converter must produce an npz whose inference
+    matches the source weights exactly (round-trip through the
+    sklearn_crfsuite {(attr, label): w} public format)."""
+    from spacy_crfsuite_ray.core.crf import LinearChainCRF
+    from spacy_crfsuite_ray.state.model import convert_reference_weights
+
+    X = [
+        [{"0:low": "alice", "0:title": True}, {"0:low": "works"}],
+        [{"0:low": "acme"}, {"0:low": "corp"}],
+    ]
+    y = [["U-PER", "O"], ["B-ORG", "L-ORG"]]
+    src = LinearChainCRF().fit(X, y, c1=0.0, c2=0.01, max_iterations=50)
+
+    # export in the reference's public attribute format
+    inv = {i: a for a, i in src.vocab.items()}
+    state = {
+        (inv[f], lab): src.W[f, j]
+        for f in range(src.W.shape[0])
+        for j, lab in enumerate(src.labels)
+        if src.W[f, j] != 0.0
+    }
+    trans = {
+        (a, b): src.T[i, j]
+        for i, a in enumerate(src.labels)
+        for j, b in enumerate(src.labels)
+        if src.T[i, j] != 0.0
+    }
+    out = str(tmp_path / "converted.npz")
+    convert_reference_weights(state, trans, src.labels, out)
+    loaded = LinearChainCRF.load(out)
+
+    for sent in X:
+        assert loaded.predict_single(sent) == src.predict_single(sent)
+        a = loaded.predict_marginals_single(sent)
+        b = src.predict_marginals_single(sent)
+        for da, db in zip(a, b):
+            for k in db:
+                assert abs(da[k] - db[k]) < 1e-9

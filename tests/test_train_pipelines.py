@@ -60,3 +60,15 @@ def test_fit_distributed_matches_local(ray_session, samples):
     ext_d = CRFExtractor(ent_tagger=dist)
     stats, _ = ext_d.eval(samples)
     assert stats["weighted avg"]["f1-score"] == pytest.approx(1.0)
+
+
+def test_heldout_f1_floor():
+    """Generalization gate: weighted F1 on template-DISJOINT dev data must
+    clear a realistic floor (measured 0.976 at the defaults) — a tagger that
+    merely memorizes training sentences fails this."""
+    import __ray_entry__ as E
+
+    df = E.queries()["tagger_report_heldout"]("/root/testdata/sf0.001")
+    weighted = df[df["tag"] == "weighted avg"].iloc[0]
+    assert weighted["f1"] >= 0.9
+    assert int(weighted["support"]) > 100
