@@ -121,10 +121,14 @@ def _domain_stats(sf_dir: str):
     triples = _read_out(out, "triples")
 
     def with_domain(batch: pa.Table) -> pa.Table:
-        domains = [u.split("/")[2] for u in batch.column("url").to_pylist()]
+        import pyarrow.compute as pc
+
+        domains = pc.list_element(
+            pc.split_pattern(batch.column("url"), "/"), 2
+        )
         return pa.table(
             {
-                "domain": pa.array(domains, pa.string()),
+                "domain": pc.cast(domains, pa.string()),
                 "one": pa.array([1] * batch.num_rows, pa.int64()),
             }
         )

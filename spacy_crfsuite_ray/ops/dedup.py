@@ -349,7 +349,8 @@ def minhash_dedup_pairs(
                                                batch_format="pandas")
         )
 
-    if sh_ds.count() <= VERIFY_BROADCAST_MAX_DOCS:
+    n_docs = sh_ds.count()
+    if n_docs <= VERIFY_BROADCAST_MAX_DOCS:
         sh_map: dict = {}
         for b in sh_ds.iter_batches(batch_format="pyarrow"):
             sh_map.update(
@@ -359,7 +360,11 @@ def minhash_dedup_pairs(
             make_verify_jaccard(ray.put(sh_map)), batch_format="pyarrow"
         )
     else:
-        verified = _verify_pairs_joined(candidates, sh_ds)
+        from ..functions.cluster import join_partitions
+
+        verified = _verify_pairs_joined(
+            candidates, sh_ds, num_partitions=join_partitions(rows=n_docs)
+        )
 
     import pyarrow.compute as pc
 

@@ -238,12 +238,14 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> "rd.Dataset":
     )
 
 
-def _join_parts() -> int:
-    """Hash-join partition count — one aggregator actor per partition, so it
-    must be bounded by cluster CPUs (see functions.cluster.join_partitions)."""
+def _join_parts(*paths: str) -> int:
+    """Hash-join partition count, scaled to the inputs' total row count
+    (parquet footer metadata) and bounded by cluster CPUs — see
+    functions.cluster.join_partitions."""
     from ..functions.cluster import join_partitions
 
-    return join_partitions()
+    rows = sum(pq.read_metadata(p).num_rows for p in paths) if paths else None
+    return join_partitions(rows=rows)
 
 
 def priority_semijoin(sf_dir: str, min_discount: float = 0.06) -> "rd.Dataset":
@@ -264,7 +266,9 @@ def priority_semijoin(sf_dir: str, min_discount: float = 0.06) -> "rd.Dataset":
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     ds = orders.join(
-        li, join_type="left_semi", num_partitions=_join_parts(),
+        li, join_type="left_semi",
+        num_partitions=_join_parts(f"{sf_dir}/orders.parquet",
+                                   f"{sf_dir}/lineitem.parquet"),
         on=("o_orderkey",), right_on=("l_orderkey",),
     ).groupby("o_orderpriority").count()
     return ds.map_batches(
@@ -290,7 +294,9 @@ def customers_no_orders(sf_dir: str,
         batch_format="pyarrow",
     )
     ds = cust.join(
-        orders, join_type="left_anti", num_partitions=_join_parts(),
+        orders, join_type="left_anti",
+        num_partitions=_join_parts(f"{sf_dir}/customer.parquet",
+                                   f"{sf_dir}/orders.parquet"),
         on=("c_custkey",), right_on=("o_custkey",),
     ).groupby("c_mktsegment").count()
     return ds.map_batches(
@@ -329,7 +335,9 @@ def shipping_priority(sf_dir: str, k: int = 10,
         ).select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow",
     ).join(
-        cust, join_type="left_semi", num_partitions=_join_parts(),
+        cust, join_type="left_semi",
+        num_partitions=_join_parts(f"{sf_dir}/orders.parquet",
+                                   f"{sf_dir}/customer.parquet"),
         on=("o_custkey",), right_on=("c_custkey",),
     )
 
@@ -354,7 +362,8 @@ def shipping_priority(sf_dir: str, k: int = 10,
 
     joined = li.join(
         orders.select_columns(["o_orderkey"]), join_type="inner",
-        num_partitions=_join_parts(),
+        num_partitions=_join_parts(f"{sf_dir}/lineitem.parquet",
+                                   f"{sf_dir}/orders.parquet"),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     ds = joined.groupby("l_orderkey").sum("rev")
