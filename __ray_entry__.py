@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
+        "doc_sample": text.doc_sample,
         # --- dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
@@ -267,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.user_sessions,
         "top_orders_per_segment": relational.top_orders_per_segment,
         "priority_semijoin": relational.priority_semijoin,
+        "event_asof_order": relational.event_asof_order,
         "customers_no_orders": relational.customers_no_orders,
         "shipping_priority": relational.shipping_priority,
     }
@@ -382,6 +384,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score": _quality_score_sql(),
         "lang_id": _lang_id_sql(),
+        "doc_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+        """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
             FROM documents GROUP BY text
@@ -459,6 +465,18 @@ def oracle_sql() -> dict[str, str]:
                                                    o.o_orderkey) AS rn
                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             ) WHERE rn <= 3
+        """,
+        "event_asof_order": """
+            SELECT event_id, o_orderkey FROM (
+                SELECT e.event_id, o.o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o ON e.user_id = o.o_custkey
+                             AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
         """,
         "priority_semijoin": """
             SELECT o_orderpriority, count(*) AS n_orders

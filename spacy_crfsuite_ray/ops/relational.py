@@ -382,6 +382,74 @@ def shipping_priority(sf_dir: str, k: int = 10,
     )
 
 
+def event_asof_order(sf_dir: str) -> "rd.Dataset":
+    """Distributed AS-OF join (custom operator — Ray Data has no asof):
+    for each event, the same user's most recent order at or before the
+    event time (ties: latest o_orderdate, then highest o_orderkey; events
+    with no prior order drop out — inner asof).
+
+    Shape: both sides are column-pruned, tagged, UNIONed, hash-partitioned
+    by the key in ONE shuffle (groupby), and matched inside the group with a
+    sort + vectorized searchsorted. Partitioning assumption: one key's rows
+    fit in a worker (true for per-user event streams; salt the key if a
+    single user's history outgrows a worker)."""
+
+    def ev_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("user_id"),
+                "ts": pc.cast(batch.column("ts"), pa.timestamp("us")),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "event_id": batch.column("event_id"),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def od_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("o_custkey"),
+                "ts": pc.cast(batch.column("o_orderdate"), pa.timestamp("us")),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "event_id": pa.nulls(n, pa.int64()),
+                "o_orderkey": batch.column("o_orderkey"),
+            }
+        )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).map_batches(ev_rows, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    ).map_batches(od_rows, batch_format="pyarrow")
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        ev = group[group["side"] == 0]
+        od = group[group["side"] == 1].sort_values(["ts", "o_orderkey"])
+        if ev.empty or od.empty:
+            return pd.DataFrame({"event_id": [], "o_orderkey": []}).astype(
+                {"event_id": "int64", "o_orderkey": "int64"}
+            )
+        idx = np.searchsorted(
+            od["ts"].to_numpy(), ev["ts"].to_numpy(), side="right"
+        ) - 1
+        keep = idx >= 0
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy()[keep].astype(np.int64),
+                "o_orderkey": od["o_orderkey"].to_numpy()[idx[keep]]
+                .astype(np.int64),
+            }
+        )
+
+    return events.union(orders).groupby("k").map_groups(
+        asof, batch_format="pandas"
+    )
+
+
 def events_daily(sf_dir: str) -> "rd.Dataset":
     """Tumbling 1-day window per event_type: count + sum(value)."""
 

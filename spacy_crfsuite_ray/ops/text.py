@@ -242,3 +242,23 @@ def quality_score(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def doc_sample(sf_dir: str, hex_threshold: str = "1999") -> "rd.Dataset":
+    """Deterministic hash sample (~threshold/0x10000 of docs, default ~10%):
+    a doc is kept iff the first 4 hex chars of md5(doc_id) sort below the
+    threshold. Reproducible, order-independent and shard-stable — the
+    standard way to cut a fixed eval/validation slice out of a huge corpus
+    without a shuffle or a seed dependency. Exactly mirrored in SQL."""
+    from ..functions.hashing import text_md5
+
+    def samp(batch: pa.Table) -> pa.Table:
+        keep = [
+            text_md5(str(i))[:4] < hex_threshold
+            for i in batch.column("doc_id").to_pylist()
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return _docs(sf_dir, ["doc_id", "source", "lang"]).map_batches(
+        samp, batch_format="pyarrow"
+    )
