@@ -298,18 +298,37 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
         mapping = build_canonical_mapping(surf_ds)
     mapping_ref = ray.put(mapping)
 
-    # --- canonical triples (task-based rewrite, no actor spawn); written in
-    # the same execution — edges re-read the (small) written output
+    # --- canonical triples (task-based rewrite, no actor spawn). Below the
+    # driver-merge threshold the rewritten dataset is MATERIALIZED once and
+    # feeds both the parquet write and the edges pass from the object store
+    # (no disk round-trip); above it, it streams straight to parquet and
+    # edges re-read the written shard.
     triples_shard = os.path.join(dirs["triples"], "shard=all")
+    t_rows = sum(pq.read_metadata(f).num_rows for f in triple_files)
     if triple_files:
-        rd.read_parquet(
+        ct = rd.read_parquet(
             triple_files,
             columns=["subj", "pred", "obj", "subj_type", "obj_type", "url",
                      "confidence"],
         ).map_batches(
             make_canonical_apply(mapping_ref), batch_format="pyarrow"
-        ).write_parquet(triples_shard)
-        canonical_triples = rd.read_parquet(triples_shard)
+        )
+        if t_rows <= DRIVER_MERGE_MAX_ROWS:
+            import threading
+
+            ct = ct.materialize()
+            # the edges/nodes passes read the MATERIALIZED dataset, not the
+            # parquet — so the triples write proceeds on a side thread and
+            # joins before its manifest is recorded (see below)
+            triples_write = threading.Thread(
+                target=ct.write_parquet, args=(triples_shard,)
+            )
+            triples_write.start()
+            canonical_triples = ct
+        else:
+            triples_write = None
+            ct.write_parquet(triples_shard)
+            canonical_triples = rd.read_parquet(triples_shard)
     else:  # no relations found anywhere: still emit a schema-stable output
         os.makedirs(triples_shard, exist_ok=True)
         empty = pa.Table.from_pylist([], schema=pa.schema(
@@ -321,21 +340,32 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
         ))
         pq.write_table(empty, os.path.join(triples_shard, "part-0.parquet"))
         canonical_triples = rd.read_parquet(triples_shard)
+        triples_write = None
     n_triples = canonical_triples.count() if triple_files else 0
-    write_manifest(dirs["triples"], "all",
-                   input_refs=[os.path.join(out_dir, "tagged")],
-                   rows_out=n_triples,
-                   wall_s=time.time() - t0)
 
-    # --- edges: map side runs distributed (edge ids + per-batch (edge, url)
-    # dedup combiner); the final dedup/count is driver-side pyarrow group_by
+    def _finish_triples():
+        """Join the overlapped write (if any) and record the manifest —
+        called after the edges pass so the write streams concurrently."""
+        if triples_write is not None:
+            triples_write.join()
+        write_manifest(dirs["triples"], "all",
+                       input_refs=[os.path.join(out_dir, "tagged")],
+                       rows_out=n_triples,
+                       wall_s=time.time() - t0)
+
+    if triples_write is None:
+        _finish_triples()
+
+    # --- edges: map side runs distributed (edge-id derivation); the final
+    # dedup/count is ONE driver-side pyarrow group_by with count_distinct
     # below the threshold (observations ≈ triples — tens of MB), else the
-    # distributed two-stage groupby.
+    # distributed combiner + two-stage groupby. (Measured: a per-batch
+    # (edge, url) dedup combiner removes ~0 rows on this workload — one URL
+    # rarely repeats an edge — so the small path skips it entirely.)
     t1 = time.time()
     obs = canonical_triples.select_columns(
         ["subj_id", "pred", "obj_id", "url", "confidence"]
-    ).map_batches(edge_key_batch, batch_format="pyarrow") \
-     .map_batches(edge_observation_combiner, batch_format="pyarrow")
+    ).map_batches(edge_key_batch, batch_format="pyarrow")
 
     if n_triples <= DRIVER_MERGE_MAX_ROWS:
         obs_parts = [
@@ -349,15 +379,9 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
                  ("url", pa.string()), ("confidence", pa.float64())]
             ))]
         obs_tbl = pa.concat_tables(obs_parts)
-        dedup = (
-            obs_tbl.group_by(
-                ["edge_id", "subj_id", "pred", "obj_id", "url"]
-            )
-            .aggregate([("confidence", "max")])
-        )
         edges_tbl = (
-            dedup.group_by(["edge_id", "subj_id", "pred", "obj_id"])
-            .aggregate([("url", "count"), ("confidence_max", "max")])
+            obs_tbl.group_by(["edge_id", "subj_id", "pred", "obj_id"])
+            .aggregate([("url", "count_distinct"), ("confidence", "max")])
             .rename_columns(
                 ["edge_id", "subj_id", "pred", "obj_id", "n_sources",
                  "confidence"]
@@ -368,6 +392,9 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
         pq.write_table(edges_tbl, os.path.join(edges_shard, "part-0.parquet"))
     else:
         from ray.data.aggregate import Max, Sum
+
+        obs = obs.map_batches(edge_observation_combiner,
+                              batch_format="pyarrow")
 
         def partial_edge_counts(batch: pa.Table) -> pa.Table:
             return (
@@ -404,6 +431,8 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
     write_manifest(dirs["edges"], "all",
                    input_refs=[dirs["triples"]],
                    rows_out=-1, wall_s=time.time() - t1)
+    if triples_write is not None:
+        _finish_triples()
 
     # --- nodes: from unique surfaces + mapping (no second mention pass)
     t2 = time.time()
