@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
         "doc_sample": text.doc_sample,
+        "ngram_top": text.ngram_top,
         # --- dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
@@ -387,6 +388,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": """
             SELECT doc_id, source, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+        """,
+        "ngram_top": r"""
+            SELECT ng, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(list_transform(
+                           range(1, len(w)),
+                           i -> w[i] || ' ' || w[i+1])) AS ng
+                FROM (SELECT list_filter(
+                          regexp_split_to_array(lower(text), '\s+'),
+                          x -> x <> '') AS w
+                      FROM documents))
+            GROUP BY ng ORDER BY n DESC, ng LIMIT 20
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dupes

@@ -262,3 +262,34 @@ def doc_sample(sf_dir: str, hex_threshold: str = "1999") -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "source", "lang"]).map_batches(
         samp, batch_format="pyarrow"
     )
+
+
+def ngram_top(sf_dir: str, k: int = 20) -> "rd.Dataset":
+    """Corpus-wide top-k word bigrams: per-batch Counter combiner (the
+    shuffle moves unique bigrams per batch, never per-token rows), tiny
+    groupby-sum, global sort + limit (ties broken by bigram text)."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            w = t.lower().split()
+            for i in range(len(w) - 1):
+                c[w[i] + " " + w[i + 1]] += 1
+        return pa.table(
+            {
+                "ng": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ng")
+        .sum("n")
+        .map_batches(lambda b: b.rename_columns(["ng", "n"]),
+                     batch_format="pyarrow")
+        .sort(["n", "ng"], descending=[True, False])
+        .limit(k)
+    )
