@@ -261,6 +261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (deterministic fake codec)
         "media_features": lambda sf_dir: multimodal.media_features(sf_dir)
         .drop_columns(["thumb"]),
+        "audio_features": multimodal.audio_features,
+        "video_frame_sample": lambda sf_dir:
+            multimodal.video_frame_sample(sf_dir).drop_columns(["thumb"]),
         # --- relational primitives showcase
         "lineitem_agg": relational.lineitem_agg,
         "segment_revenue": relational.segment_revenue,

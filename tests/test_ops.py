@@ -109,3 +109,34 @@ def test_lang_id_deterministic(ray_session):
     assert detect_lang("der hund und die katze sind nicht da") == "de"
     assert detect_lang("一些中文内容在这里") == "zh"
     assert detect_lang("xyzzy qwerty") == "und"
+
+
+def test_audio_video_plumbing(ray_session):
+    """Audio/video honest-fake codecs: real Ray plumbing, deterministic
+    features, round-trip encode/decode, NotImplementedError on foreign
+    formats."""
+    import numpy as np
+
+    from spacy_crfsuite_ray.ops import multimodal as mm
+
+    adf = _df(mm.audio_features(SF))
+    assert {"media_id", "duration_s", "rms", "zero_cross_rate",
+            "peak"} <= set(adf.columns)
+    assert (adf["duration_s"] > 0).all() and (adf["rms"] > 0).all()
+    assert (adf["peak"] <= 1.0).all()
+
+    vdf = _df(mm.video_frame_sample(SF))
+    assert {"media_id", "frame_idx", "channel_means", "thumb"} <= set(vdf.columns)
+    assert vdf.groupby("media_id").size().max() <= 4
+    assert len(vdf.iloc[0]["channel_means"]) == 3
+    assert len(vdf.iloc[0]["thumb"]) == 4 * 4 * 3
+
+    pcm = np.array([0, 1000, -1000, 500], dtype=np.int16)
+    s, rate = mm.decode_saud(mm.encode_saud(pcm, 8000))
+    assert rate == 8000 and np.array_equal(s, pcm)
+    frames = np.zeros((3, 4, 5, 3), dtype=np.uint8)
+    assert mm.decode_svid(mm.encode_svid(frames)).shape == (3, 4, 5, 3)
+    with pytest.raises(NotImplementedError):
+        mm.decode_saud(b"WAVnotsupported")
+    with pytest.raises(NotImplementedError):
+        mm.decode_svid(b"MP4notsupported")
