@@ -26,10 +26,20 @@ from ..stages.graph import write_manifest
 
 MIN_CHARS = 80
 MIN_TOKENS = 10
+# Below this many quality rows the dedup winner set ((h, min url) pairs)
+# broadcasts; above it a co-partitioned (h, url) hash-join filters instead.
+CORPUS_BROADCAST_MAX_ROWS = 5_000_000
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
-    """(url, text) → + lang_pred, n_chars, n_tokens, keep flag."""
+    """(url, text) → + lang_pred, n_chars, n_tokens, uid, keep flag.
+
+    ``uid`` is a random per-row int64 used ONLY as the dedup tiebreaker:
+    byte-identical copies are interchangeable, so which one the Min(uid)
+    winner pass keeps cannot change the output bytes (the column is dropped
+    before the write)."""
+    import numpy as np
+
     text = batch.column("text")
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
     n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64())
@@ -37,6 +47,10 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         [detect_lang(t) for t in text.to_pylist()], pa.string()
     )
     hashes = pa.array([text_md5(t) for t in text.to_pylist()], pa.string())
+    uid = pa.array(
+        np.random.randint(-(2**62), 2**62, size=batch.num_rows,
+                          dtype=np.int64)
+    )
     keep = pc.and_(
         pc.greater_equal(n_chars, MIN_CHARS),
         pc.greater_equal(n_tokens, MIN_TOKENS),
@@ -49,6 +63,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
             "n_chars": n_chars,
             "n_tokens": n_tokens,
             "h": hashes,
+            "uid": uid,
         }
     ).filter(keep)
 
@@ -62,16 +77,50 @@ def run_corpus_pipeline(page_files: List[str], out_dir: str) -> Dict:
     ds = ds.materialize()  # counted + deduped
     n_quality = ds.count()
 
-    # exact dedup: hash-partition on md5(text), first-wins inside the group
-    # (min url; byte-identical copies are interchangeable). This is the
-    # canonical exact-dedup shuffle — each group holds only the copies of
-    # one distinct text.
-    import pandas as pd
+    # exact dedup, one winner row per distinct text. The shuffle moves ONLY
+    # (h, uid) pairs — never the page text: a vectorized Min aggregate picks
+    # each hash's winner uid, and the winner set filters the full rows — via
+    # a broadcast set below the threshold, via a hash-join on (h, uid)
+    # above it.
+    from ray.data.aggregate import Min
 
-    def first_row(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("url").iloc[:1]
+    winners = ds.select_columns(["h", "uid"]).groupby("h").aggregate(
+        Min("uid")
+    )
+    if n_quality <= CORPUS_BROADCAST_MAX_ROWS:
+        import ray
 
-    clean = ds.groupby("h").map_groups(first_row, batch_format="pandas")
+        from ..functions.broadcast import get_broadcast
+
+        keep: set = set()
+        for b in winners.iter_batches(batch_format="pyarrow"):
+            keep.update(zip(b.column("h").to_pylist(),
+                            b.column("min(uid)").to_pylist()))
+        keep_ref = ray.put(keep)
+
+        def winner_rows(batch: pa.Table) -> pa.Table:
+            k = get_broadcast(keep_ref)
+            mask = [
+                (h, u) in k
+                for h, u in zip(batch.column("h").to_pylist(),
+                                batch.column("uid").to_pylist())
+            ]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        clean = ds.map_batches(winner_rows, batch_format="pyarrow")
+    else:
+        from ..functions.cluster import join_partitions
+
+        clean = ds.join(
+            winners.map_batches(
+                lambda b: b.rename_columns(["h", "uid"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=join_partitions(rows=n_quality),
+            on=("h", "uid"),
+        )
+    clean = clean.drop_columns(["uid"])
     clean_dir = os.path.join(out_dir, "clean")
     shard = os.path.join(clean_dir, "shard=all")
     import shutil

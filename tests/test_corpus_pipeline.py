@@ -31,3 +31,30 @@ def test_corpus_pipeline_dedupes_and_filters(ray_session, tmp_path):
     assert (df["n_chars"] >= 80).all()
     assert (df["n_tokens"] >= 10).all()
     assert not df["h"].duplicated().any()
+
+
+def test_corpus_dedup_join_twin_equals_broadcast(ray_session, tmp_path,
+                                                 monkeypatch):
+    """The (h, uid) hash-join dedup path must keep exactly the same TEXTS as
+    the broadcast winner-set path (winner identity may differ — copies are
+    byte-identical, so outputs compare equal on content columns)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from spacy_crfsuite_ray.pipelines import corpus
+
+    base = str(tmp_path / "pages")
+    pages_dir, _ = generate_pages(30, base, rows_per_file=15)
+    files = page_files(pages_dir)
+
+    def clean_df(out):
+        stats = corpus.run_corpus_pipeline(files + files, out)
+        t = pq.read_table(os.path.join(stats["clean_dir"], "shard=all"))
+        cols = ["h", "url", "text", "lang_pred", "n_chars", "n_tokens"]
+        return t.to_pandas()[cols].sort_values("h").reset_index(drop=True)
+
+    a = clean_df(str(tmp_path / "out_a"))
+    monkeypatch.setattr(corpus, "CORPUS_BROADCAST_MAX_ROWS", 0)
+    b = clean_df(str(tmp_path / "out_b"))
+    assert a.equals(b)
+    assert "uid" not in a.columns
