@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_asof_order": relational.event_asof_order,
         "customers_no_orders": relational.customers_no_orders,
         "shipping_priority": relational.shipping_priority,
+        "revenue_by_region": relational.revenue_by_region,
     }
 
 
@@ -508,6 +509,18 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c.c_custkey
                                 AND o_totalprice > 300000.0)
             GROUP BY c_mktsegment
+        """,
+        "revenue_by_region": """
+            SELECT r.r_name,
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_c4,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
         """,
         "shipping_priority": """
             SELECT o_orderkey,

@@ -492,3 +492,80 @@ def events_daily(sf_dir: str) -> "rd.Dataset":
         )
 
     return ds.map_batches(final, batch_format="pyarrow")
+
+
+def revenue_by_region(sf_dir: str) -> "rd.Dataset":
+    """Snowflake dimension-chain broadcast join (TPC-H Q5 shape): lineitem
+    facts → supplier → nation → region, revenue per region. The three
+    dimension tables are pre-joined into ONE suppkey→region dict on the
+    driver (they are tiny and get smaller as the chain walks up), shipped
+    once via ray.put, probed per batch with a groupby combiner — the fact
+    table never shuffles."""
+    import ray
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    region_of_nation = dict(zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_regionkey").to_pylist(),
+    ))
+    name_of_region = dict(zip(
+        reg.column("r_regionkey").to_pylist(),
+        reg.column("r_name").to_pylist(),
+    ))
+    region_of_supp = {
+        s: name_of_region[region_of_nation[n]]
+        for s, n in zip(sup.column("s_suppkey").to_pylist(),
+                        sup.column("s_nationkey").to_pylist())
+    }
+    ref = ray.put(region_of_supp)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        regions = get_broadcast(ref)
+        rev = _to_scaled_int(
+            pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            ),
+            10000,
+        )
+        t = pa.table(
+            {
+                "r_name": pa.array(
+                    [regions.get(s)
+                     for s in batch.column("l_suppkey").to_pylist()],
+                    pa.string(),
+                ),
+                "rev": rev,
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("r_name").aggregate(
+            [("rev", "sum"), ("one", "sum")]
+        ).rename_columns(["r_name", "rev", "one"])
+
+    ds = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .groupby("r_name")
+        .sum(["rev", "one"])
+    )
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "r_name": b.column("r_name"),
+                "revenue_c4": b.column("sum(rev)"),
+                "n_items": b.column("sum(one)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
