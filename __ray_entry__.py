@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": relational.customers_no_orders,
         "shipping_priority": relational.shipping_priority,
         "revenue_by_region": relational.revenue_by_region,
+        "user_value_sliding_sum": relational.user_value_sliding_sum,
     }
 
 
@@ -509,6 +510,14 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c.c_custkey
                                 AND o_totalprice > 300000.0)
             GROUP BY c_mktsegment
+        """,
+        "user_value_sliding_sum": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS sliding_sum_c4
+            FROM events
         """,
         "revenue_by_region": """
             SELECT r.r_name,

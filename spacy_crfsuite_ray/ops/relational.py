@@ -569,3 +569,45 @@ def revenue_by_region(sf_dir: str) -> "rd.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def user_value_sliding_sum(sf_dir: str, window: int = 3) -> "rd.Dataset":
+    """SLIDING-window aggregate per key: for each user's event stream ordered
+    by (ts, event_id), the sum of the last ``window`` event values
+    (integer-scaled c4 for exactness). One hash shuffle on user_id; in-group
+    vectorized cumsum-difference. Mirrors SQL
+    ``SUM(...) OVER (PARTITION BY user ORDER BY ts, event_id
+    ROWS window-1 PRECEDING)``."""
+
+    def scale(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "v": _to_scaled_int(batch.column("value"), 10000),
+            }
+        )
+
+    def sliding(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        v = g["v"].to_numpy()
+        c = np.concatenate([[0], np.cumsum(v)])
+        lo = np.maximum(0, np.arange(len(v)) - (window - 1))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "sliding_sum_c4": (c[1:] - c[lo]).astype(np.int64),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        .map_batches(scale, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sliding, batch_format="pandas")
+    )
