@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.shipping_priority,
         "revenue_by_region": relational.revenue_by_region,
         "user_value_sliding_sum": relational.user_value_sliding_sum,
+        "event_props_stats": relational.event_props_stats,
     }
 
 
@@ -510,6 +511,13 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c.c_custkey
                                 AND o_totalprice > 300000.0)
             GROUP BY c_mktsegment
+        """,
+        "event_props_stats": r"""
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "user_value_sliding_sum": """
             SELECT event_id, user_id,

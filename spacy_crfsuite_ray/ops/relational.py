@@ -611,3 +611,43 @@ def user_value_sliding_sum(sf_dir: str, window: int = 3) -> "rd.Dataset":
         .groupby("user_id")
         .map_groups(sliding, batch_format="pandas")
     )
+
+
+def event_props_stats(sf_dir: str) -> "rd.Dataset":
+    """Semi-structured (JSON string) column extraction, fully vectorized:
+    pull the integer ``k`` field out of ``events.props`` with an Arrow RE2
+    kernel (no per-row json.loads), combiner-aggregate per event_type.
+    The oracle uses the identical RE2 pattern via regexp_extract."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = pc.struct_field(
+            pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)'), "k"
+        )
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pc.cast(ks, pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("event_type").aggregate(
+            [("k", "sum"), ("one", "sum")]
+        ).rename_columns(["event_type", "k", "one"])
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["k", "one"])
+    )
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "sum_k": b.column("sum(k)"),
+                "n_events": b.column("sum(one)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

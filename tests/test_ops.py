@@ -45,7 +45,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "user_sessions", "top_orders_per_segment",
     "priority_semijoin", "customers_no_orders", "shipping_priority",
     "event_asof_order", "doc_sample", "ngram_top", "revenue_by_region",
-    "user_value_sliding_sum",
+    "user_value_sliding_sum", "event_props_stats",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
