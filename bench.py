@@ -114,7 +114,8 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "embedding_dup_pairs", "ann_topk", "ann_lsh", "media_features",
             "lineitem_agg", "segment_revenue", "top_parts", "events_daily",
             "priority_semijoin", "customers_no_orders", "shipping_priority",
-            "event_asof_order",
+            "event_asof_order", "revenue_by_region", "user_value_sliding_sum",
+            "event_props_stats",
         ]:
             t0 = time.time()
             _consume(qs[name](SF_DIR))
