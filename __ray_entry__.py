@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": ann.ann_topk,
         "ann_lsh": ann.ann_lsh,
+        "ann_ivf": ann.ann_ivf,
         # --- multimodal plumbing (deterministic fake codec)
         "media_features": lambda sf_dir: multimodal.media_features(sf_dir)
         .drop_columns(["thumb"]),

@@ -212,3 +212,113 @@ def ann_lsh(
             batch_format="pandas",
         )
     )
+
+
+# ----------------------------------------------------------------------- IVF
+
+IVF_SEED = 13
+IVF_ITERS = 8
+
+
+def _kmeans(mat: np.ndarray, k: int, seed: int = IVF_SEED,
+            iters: int = IVF_ITERS) -> np.ndarray:
+    """Deterministic spherical k-means (fixed seed/iterations) for the IVF
+    coarse quantizer. Runs on a bounded SAMPLE at scale — centroids are a
+    tiny model, not a per-row artifact."""
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    cent = _normalize(cent.astype(np.float64))
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = mat[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ann_ivf(
+    sf_dir: str, k: int = DEFAULT_K, n_queries: int = DEFAULT_N_QUERIES,
+    n_lists: int | None = None, n_probe: int = 4,
+    train_sample: int = 100_000,
+) -> "rd.Dataset":
+    """IVF (inverted-file) ANN — the classic scale path alongside LSH:
+
+    1. TRAIN: deterministic spherical k-means on a bounded sample →
+       ``n_lists`` centroids (a tiny broadcast model).
+    2. ASSIGN+SCORE (one distributed pass): each batch assigns its vectors
+       to their nearest centroid; a vector is scored ONLY against queries
+       probing that centroid (each query probes its ``n_probe`` closest
+       lists), with a batch-local top-k combiner.
+    3. Final per-query top-k merge (tiny groupby).
+
+    Per-query work is bounded by probed-list sizes, not corpus size.
+    Approximate — recall vs brute force asserted in tests."""
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    ids0, mat0 = _load_matrix(sf_dir)
+    sample = _normalize(mat0[:train_sample].astype(np.float64))
+    if n_lists is None:
+        n_lists = max(2, int(np.sqrt(len(ids0) / 4)))
+    cent = _kmeans(sample, n_lists)
+    # query → probed lists
+    probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
+    probe_of_list: dict = {}
+    for qi, qid in enumerate(qids):
+        for li in probes[qi]:
+            probe_of_list.setdefault(int(li), []).append(int(qid))
+    ref = ray.put((cent, probe_of_list,
+                   {int(q): v for q, v in zip(qids, qmat)}))
+
+    class Score:
+        def __init__(self, ref):
+            self.cent, self.probe_of_list, self.queries = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = np.asarray(batch.column("vec_id").to_pylist(),
+                              dtype=np.int64)
+            vecs = _normalize(
+                np.asarray(batch.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            )
+            assign = np.argmax(vecs @ self.cent.T, axis=1)
+            out_q, out_n, out_c = [], [], []
+            for qid_list_key in set(assign.tolist()):
+                qids_here = self.probe_of_list.get(int(qid_list_key))
+                if not qids_here:
+                    continue
+                rows = np.nonzero(assign == qid_list_key)[0]
+                sub = vecs[rows]
+                sub_ids = vids[rows]
+                for qid in qids_here:
+                    sims = sub @ self.queries[qid]
+                    order = np.lexsort((sub_ids, -sims))[:DEFAULT_K + 1]
+                    for j in order:
+                        if sub_ids[j] == qid:
+                            continue
+                        out_q.append(qid)
+                        out_n.append(int(sub_ids[j]))
+                        out_c.append(float(sims[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "cosine": pa.array(out_c, pa.float64()),
+                }
+            )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(
+            Score,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={"ref": ref},
+            concurrency=(1, 8),
+        )
+        .groupby("query_id")
+        .map_groups(_final_topk(k), batch_format="pandas")
+    )

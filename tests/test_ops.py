@@ -141,3 +141,16 @@ def test_audio_video_plumbing(ray_session):
         mm.decode_saud(b"WAVnotsupported")
     with pytest.raises(NotImplementedError):
         mm.decode_svid(b"MP4notsupported")
+
+
+def test_ann_ivf_recall_vs_bruteforce(ray_session):
+    from spacy_crfsuite_ray.ops.ann import ann_ivf, ann_topk
+
+    exact = _df(ann_topk(SF))
+    approx = _df(ann_ivf(SF))
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # n_probe=4 of ~11 lists over random vectors
+    # every query answered with k results
+    assert approx.groupby("query_id").size().max() <= 5
