@@ -109,7 +109,8 @@ def cmd_kg(args) -> int:
 
     files = page_files(args.pages_dir) if os.path.isdir(args.pages_dir) \
         else [args.pages_dir]
-    res = run_kg_pipeline(files, args.out_dir, shards=args.shards)
+    res = run_kg_pipeline(files, args.out_dir, shards=args.shards,
+                          files_per_shard=args.files_per_shard)
     print(json.dumps({k: v for k, v in res.items() if not k.endswith("_dir")}))
     ray.shutdown()
     return 0
@@ -142,6 +143,10 @@ def main(argv=None) -> int:
     k.add_argument("pages_dir")
     k.add_argument("out_dir")
     k.add_argument("--shards", type=int, default=1)
+    k.add_argument("--files-per-shard", type=int, default=None,
+                   help="incremental-ingest mode: fixed-size name-sorted "
+                        "file chunks with content-hash shard ids; "
+                        "appending inputs re-runs only new chunks")
     k.set_defaults(fn=cmd_kg)
 
     args = p.parse_args(argv)

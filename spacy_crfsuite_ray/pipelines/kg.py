@@ -73,6 +73,27 @@ def _shard_groups(files: List[str], shards: int) -> List[List[str]]:
     return [files[i::shards] for i in range(shards)]
 
 
+def _stable_shard_groups(
+    files: List[str], files_per_shard: int
+) -> List[tuple]:
+    """Incremental-ingest sharding: files sorted by name, chunked at a FIXED
+    size, each shard keyed by a content hash of its file basenames. Appending
+    input files that sort after the existing ones (numbered/date-partitioned
+    crawls) leaves every full chunk's pid unchanged, so only the new/changed
+    chunks re-run — the append-only ingest pattern at 100 TB."""
+    import hashlib
+
+    files = sorted(files)
+    out = []
+    for i in range(0, len(files), files_per_shard):
+        group = files[i:i + files_per_shard]
+        pid = hashlib.sha1(
+            "|".join(os.path.basename(f) for f in group).encode("utf-8")
+        ).hexdigest()[:12]
+        out.append((pid, group))
+    return out
+
+
 def _cpus() -> int:
     return int(ray.cluster_resources().get("CPU", 8))
 
@@ -84,28 +105,41 @@ def run_phase1(
     model_path: Optional[str] = None,
     tag_concurrency=TAG_CONCURRENCY,
     lang: str = "en",
+    files_per_shard: Optional[int] = None,
 ) -> Dict:
     """pages → one kind-tagged union output per shard (tagged sentences +
-    raw triples + surface-count combiner rows), ONE execution per shard."""
+    raw triples + surface-count combiner rows), ONE execution per shard.
+
+    ``files_per_shard`` switches to INCREMENTAL sharding: shards are fixed-
+    size chunks of the name-sorted input keyed by a content hash, so
+    appending new input files re-runs only the new/changed chunks
+    (``shards`` is ignored in that mode)."""
     if not page_files:
         raise ValueError("run_phase1: no input page files")
     model_path = model_path or ensure_default_model()
     tagged_dir = os.path.join(out_dir, "tagged")
     os.makedirs(tagged_dir, exist_ok=True)
     stats = {"shards_run": 0, "shards_skipped": 0}
-    groups = _shard_groups(page_files, shards)
-    # prune shard dirs beyond the current layout (a previous run with MORE
-    # shards would otherwise leak stale shards into phase 2's reads);
-    # non-numeric shard suffixes (foreign dirs) are left untouched
+    if files_per_shard is not None:
+        pid_groups = _stable_shard_groups(page_files, files_per_shard)
+    else:
+        pid_groups = [
+            (f"{shard_id:05d}", group)
+            for shard_id, group in enumerate(_shard_groups(page_files, shards))
+        ]
+    # prune every shard dir not in the CURRENT pid set — stale shards from a
+    # previous run with more shards, a changed incremental chunk, or a
+    # sharding-mode switch would otherwise leak into phase 2's reads
+    # (tagged/ is pipeline-owned output; foreign dirs don't belong here)
+    live = {pid for pid, _ in pid_groups}
     for name in os.listdir(tagged_dir):
         suffix = name.split("=", 1)[1] if name.startswith("shard=") else ""
-        if suffix.isdigit() and int(suffix) >= len(groups):
+        if suffix and suffix not in live:
             shutil.rmtree(os.path.join(tagged_dir, name), ignore_errors=True)
             stale = os.path.join(tagged_dir, "_manifest", f"{suffix}.json")
             if os.path.exists(stale):
                 os.remove(stale)
-    for shard_id, group in enumerate(groups):
-        pid = f"{shard_id:05d}"
+    for pid, group in pid_groups:
         if manifest_valid(tagged_dir, pid, input_refs=group,
                           layout=LAYOUT_VERSION):
             # skip only when the manifest covers EXACTLY this input group —
@@ -510,9 +544,11 @@ def run_kg_pipeline(
     shards: int = 1,
     model_path: Optional[str] = None,
     tag_concurrency=TAG_CONCURRENCY,
+    files_per_shard: Optional[int] = None,
 ) -> Dict:
     s1 = run_phase1(page_files, out_dir, shards=shards, model_path=model_path,
-                    tag_concurrency=tag_concurrency)
+                    tag_concurrency=tag_concurrency,
+                    files_per_shard=files_per_shard)
     # any phase-1 work invalidates phase 2's output regardless of manifests
     s2 = run_phase2(out_dir, force=s1["shards_run"] > 0)
     return {**s1, **s2}

@@ -167,3 +167,42 @@ def test_pipeline_with_everything_filtered(ray_session, tmp_path):
     t = pq.read_table(os.path.join(res2["triples_dir"], "shard=all"))
     assert t.num_rows == 0
     assert "subj_id" in t.column_names
+
+
+def test_incremental_ingest_stable_shards(ray_session, tmp_path):
+    """files_per_shard mode: appending input files (sorting after the
+    existing ones) re-runs ONLY the new chunks, and the incremental result
+    equals a fresh full run."""
+    import pyarrow.parquet as pq
+
+    from spacy_crfsuite_ray.pipelines.kg import run_kg_pipeline
+    from spacy_crfsuite_ray.sources.pages import generate_pages, page_files
+
+    base = str(tmp_path / "pages")
+    pages_dir, _ = generate_pages(60, base, rows_per_file=15)
+    files = sorted(page_files(pages_dir))  # 4 files
+    out_inc = str(tmp_path / "out_inc")
+    out_full = str(tmp_path / "out_full")
+
+    # initial ingest: first 2 files → 1 shard of 2
+    s1 = run_kg_pipeline(files[:2], out_inc, files_per_shard=2)
+    assert s1["shards_run"] == 1 and s1["shards_skipped"] == 0
+
+    # append the remaining files → old chunk skipped, one new chunk runs
+    s2 = run_kg_pipeline(files, out_inc, files_per_shard=2)
+    assert s2["shards_run"] == 1 and s2["shards_skipped"] == 1
+
+    # idempotent re-run: everything skipped
+    s3 = run_kg_pipeline(files, out_inc, files_per_shard=2)
+    assert s3["shards_run"] == 0 and s3["shards_skipped"] == 2
+    assert s3.get("skipped") is True
+
+    # equality with a fresh full run
+    run_kg_pipeline(files, out_full, files_per_shard=2)
+
+    def triples(out):
+        t = pq.read_table(os.path.join(out, "triples", "shard=all"))
+        cols = ["subj_id", "pred", "obj_id", "url"]
+        return t.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+
+    assert triples(out_inc).equals(triples(out_full))
