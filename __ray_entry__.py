@@ -227,7 +227,9 @@ def _tagger_report_heldout(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from spacy_crfsuite_ray.ops import ann, dedup, multimodal, relational, text
+    from spacy_crfsuite_ray.ops import (
+        ann, dedup, multimodal, relational, sketch, text,
+    )
 
     return {
         # --- KG construction pipeline (pages fixture; non-SQL → rows-only)
@@ -259,6 +261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,
         "ann_lsh": ann.ann_lsh,
         "ann_ivf": ann.ann_ivf,
+        # --- mergeable sketches (approximate by design → rows-only)
+        "distinct_hll": sketch.distinct_hll,
+        "quantile_sketch": sketch.quantile_sketch,
         # --- multimodal plumbing (deterministic fake codec)
         "media_features": lambda sf_dir: multimodal.media_features(sf_dir)
         .drop_columns(["thumb"]),

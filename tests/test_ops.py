@@ -154,3 +154,37 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session):
     assert recall >= 0.5  # n_probe=4 of ~11 lists over random vectors
     # every query answered with k results
     assert approx.groupby("query_id").size().max() <= 5
+
+
+def test_hll_distinct_within_tolerance(ray_session, con):
+    from spacy_crfsuite_ray.ops.sketch import distinct_hll
+
+    approx = _df(distinct_hll(SF))["approx_distinct"].iloc[0]
+    exact = con.execute(
+        "SELECT count(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
+    assert abs(approx - exact) / exact < 0.03  # 4096 registers ≈ 1.6% SE
+
+
+def test_quantile_sketch_within_bin_error(ray_session, con):
+    from spacy_crfsuite_ray.ops.sketch import quantile_sketch
+
+    df = _df(quantile_sketch(SF))
+    for q, v in zip(df["quantile"], df["approx_value"]):
+        exact = con.execute(
+            f"SELECT quantile_cont(o_totalprice, {q}) FROM orders"
+        ).fetchone()[0]
+        assert abs(v - exact) / exact < 0.02  # log-bin width ~1.2%
+
+
+def test_sketches_batch_invariant(ray_session):
+    """Same input, different batch boundaries → identical sketch results."""
+    import numpy as np
+
+    from spacy_crfsuite_ray.ops.sketch import hll_estimate, hll_registers
+
+    vals = np.arange(10000, dtype=np.int64) % 3777
+    whole = hll_registers(vals)
+    merged = np.maximum(hll_registers(vals[:4000]),
+                        hll_registers(vals[4000:]))
+    assert np.array_equal(whole, merged)
+    assert abs(hll_estimate(whole) - 3777) / 3777 < 0.05
