@@ -270,11 +270,11 @@ def ann_ivf(
         for li in probes[qi]:
             probe_of_list.setdefault(int(li), []).append(int(qid))
     ref = ray.put((cent, probe_of_list,
-                   {int(q): v for q, v in zip(qids, qmat)}))
+                   {int(q): v for q, v in zip(qids, qmat)}, k))
 
     class Score:
         def __init__(self, ref):
-            self.cent, self.probe_of_list, self.queries = ray.get(ref)
+            self.cent, self.probe_of_list, self.queries, self.k = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vids = np.asarray(batch.column("vec_id").to_pylist(),
@@ -294,7 +294,7 @@ def ann_ivf(
                 sub_ids = vids[rows]
                 for qid in qids_here:
                     sims = sub @ self.queries[qid]
-                    order = np.lexsort((sub_ids, -sims))[:DEFAULT_K + 1]
+                    order = np.lexsort((sub_ids, -sims))[:self.k + 1]
                     for j in order:
                         if sub_ids[j] == qid:
                             continue

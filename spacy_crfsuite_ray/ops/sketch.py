@@ -127,6 +127,9 @@ def quantile_sketch(sf_dir: str, table: str = "orders",
     )
     hist = ds.to_pandas().rename(columns={"sum(n)": "n"}) \
         .sort_values("bin").reset_index(drop=True)
+    if hist.empty:  # empty input: schema-stable empty result
+        return pa.table({"quantile": pa.array([], pa.float64()),
+                         "approx_value": pa.array([], pa.float64())})
     total = int(hist["n"].sum())
     cum = hist["n"].cumsum()
     qs, vals = [], []
