@@ -26,10 +26,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
 def _sf_of_dir() -> float:
-    import re
+    import __ray_entry__ as entrymod
 
-    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(SF_DIR)))
-    return float(m.group(1)) if m else 0.01
+    return entrymod._sf_of(SF_DIR)
 
 
 def _consume(ds) -> int:
@@ -194,6 +193,8 @@ def run_scaling() -> dict:
 
     efficiency = (median(hi_tp) / median(lo_tp)) / (levels[1] / levels[0])
     speedup = efficiency * (levels[1] / levels[0])
+    # top-level numbers are ALL per-level medians (one consistent estimator;
+    # per-round raw values live only in `rounds`)
     return {
         "metric": "scaling_efficiency",
         "value": round(efficiency, 4),
@@ -204,8 +205,10 @@ def run_scaling() -> dict:
         "n_pages": n_pages,
         "pages_per_s": {str(levels[0]): round(median(lo_tp), 2),
                         str(levels[1]): round(median(hi_tp), 2)},
-        "triples_per_s": {str(k): v["triples_per_s"] for k, v in last.items()},
-        "kg_sec": {str(k): v["value"] for k, v in last.items()},
+        "kg_sec_median": {
+            str(levels[0]): round(n_pages / median(lo_tp), 3),
+            str(levels[1]): round(n_pages / median(hi_tp), 3),
+        },
         "speedup": round(speedup, 3),
         "mean_round_efficiency": round(
             sum(r["efficiency"] for r in rounds) / len(rounds), 4),

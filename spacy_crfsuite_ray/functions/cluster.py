@@ -17,14 +17,22 @@ def join_partitions(cap: int = 32, rows: int | None = None) -> int:
     (parquet footer metadata — free) partitions scale with data volume and
     only reach the CPU bound on genuinely large inputs.
     """
+    import os
+
     import ray
 
-    p = cap
+    cpus = None
     try:
         if ray.is_initialized():
-            p = min(cap, int(ray.cluster_resources().get("CPU", cap)))
+            cpus = int(ray.cluster_resources().get("CPU", 0)) or None
     except Exception:
-        p = min(cap, 8)
+        cpus = None
+    if cpus is None:
+        # Ray not (yet) initialized: bound by the machine's cores — a local
+        # auto-init will see at most these, and over-requesting partitions
+        # would hang the join's aggregator actors
+        cpus = os.cpu_count() or 8
+    p = min(cap, cpus)
     if rows is not None:
         p = min(p, -(-int(rows) // ROWS_PER_JOIN_PARTITION))
-    return max(2, p)
+    return max(1, min(p, cpus))

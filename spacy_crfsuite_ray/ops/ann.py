@@ -24,15 +24,6 @@ LSH_PLANES = 12
 LSH_SEED = 7
 
 
-def _load_matrix(sf_dir: str) -> Tuple[np.ndarray, np.ndarray]:
-    table = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.asarray(table.column("embedding").to_pylist(), dtype=np.float64)
-    return ids, mat
-
-
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
@@ -40,9 +31,33 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> Tuple[np.ndarray, np.ndarray]:
-    ids, mat = _load_matrix(sf_dir)
-    mask = ids < n_queries
-    return ids[mask], _normalize(mat[mask])
+    """Query vectors only — the read carries a row filter so the driver
+    never loads the full corpus matrix."""
+    table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(table.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, _normalize(mat)
+
+
+def _corpus_meta(sf_dir: str, sample_rows: int = 0):
+    """(row count, dim, bounded sample) from parquet metadata + a bounded
+    batch read — driver cost independent of corpus size."""
+    path = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    pf = pq.ParquetFile(path)
+    chunks = []
+    got = 0
+    for b in pf.iter_batches(batch_size=10_000, columns=["embedding"]):
+        chunks.append(np.asarray(b.column(0).to_pylist(), dtype=np.float64))
+        got += len(chunks[-1])
+        if got >= max(1, sample_rows):
+            break
+    sample = np.concatenate(chunks)[:max(1, sample_rows)] if sample_rows \
+        else chunks[0][:1]
+    return n_rows, sample.shape[1], sample
 
 
 class _BruteForceTopK:
@@ -149,10 +164,10 @@ def ann_lsh(
     import ray
 
     qids, qmat = _query_matrix(sf_dir, n_queries)
-    ids0, mat0 = _load_matrix(sf_dir)
-    n_planes = _n_planes(len(ids0))
+    n_rows, dim, _ = _corpus_meta(sf_dir)  # metadata only, no full load
+    n_planes = _n_planes(n_rows)
     rng = np.random.RandomState(LSH_SEED)
-    tables = [rng.normal(size=(n_planes, mat0.shape[1]))
+    tables = [rng.normal(size=(n_planes, dim))
               for _ in range(n_tables)]
     # multi-probe target (table, bucket) → query ids
     probe: dict = {}
@@ -258,10 +273,11 @@ def ann_ivf(
     import ray
 
     qids, qmat = _query_matrix(sf_dir, n_queries)
-    ids0, mat0 = _load_matrix(sf_dir)
-    sample = _normalize(mat0[:train_sample].astype(np.float64))
+    # bounded sample read: driver cost is O(train_sample), not corpus size
+    n_rows, _dim, sample = _corpus_meta(sf_dir, sample_rows=train_sample)
+    sample = _normalize(sample)
     if n_lists is None:
-        n_lists = max(2, int(np.sqrt(len(ids0) / 4)))
+        n_lists = max(2, int(np.sqrt(n_rows / 4)))
     cent = _kmeans(sample, n_lists)
     # query → probed lists
     probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]

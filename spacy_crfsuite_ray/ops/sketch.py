@@ -43,11 +43,13 @@ def hll_registers(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
         return regs
     hv = _hash64(np.unique(values))
     idx = (hv >> np.uint64(64 - p)).astype(np.int64)
-    rest = hv << np.uint64(p)
-    # rank = leading zeros of the remaining 64-p bits, +1 (capped)
+    rest = hv << np.uint64(p)  # remaining 64-p bits, left-aligned in 64
+    # rank = leading zeros of the 64-bit-aligned remainder + 1, capped at
+    # 65-p; for rest>0, leading zeros = 63 - floor(log2(rest))
     ranks = np.minimum(
-        65 - p, 64 - p + 1 - np.floor(np.log2(
-            np.maximum(rest, 1).astype(np.float64))).astype(np.int64)
+        65 - p,
+        64 - np.floor(np.log2(
+            np.maximum(rest, 1).astype(np.float64))).astype(np.int64),
     ).clip(1)
     ranks[rest == 0] = 65 - p
     np.maximum.at(regs, idx, ranks.astype(np.uint8))
@@ -66,7 +68,7 @@ def hll_estimate(regs: np.ndarray) -> float:
 
 
 def distinct_hll(sf_dir: str, table: str = "lineitem",
-                 column: str = "l_orderkey") -> "rd.Dataset":
+                 column: str = "l_orderkey") -> pa.Table:
     """Approximate distinct count of an int column: per-batch HLL registers
     (one 4KB row per batch crosses the wire), driver-side max-merge +
     estimate. Exact twin: count(DISTINCT col) — tests assert <3% error."""
@@ -102,7 +104,7 @@ def _bin_of(x: np.ndarray) -> np.ndarray:
 
 def quantile_sketch(sf_dir: str, table: str = "orders",
                     column: str = "o_totalprice",
-                    quantiles=(0.5, 0.9, 0.99)) -> "rd.Dataset":
+                    quantiles=(0.5, 0.9, 0.99)) -> pa.Table:
     """Approximate quantiles of a positive numeric column via a log-binned
     histogram: per-batch (bin, count) partials (combiner), tiny groupby-sum,
     driver-side cumulative walk. Relative error bounded by the bin width

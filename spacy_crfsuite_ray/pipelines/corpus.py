@@ -32,13 +32,26 @@ CORPUS_BROADCAST_MAX_ROWS = 5_000_000
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
-    """(url, text) → + lang_pred, n_chars, n_tokens, uid, keep flag.
+    """(url, text) → + lang_pred, n_chars, n_tokens, uh, uid, keep flag.
 
-    ``uid`` is a random per-row int64 used ONLY as the dedup tiebreaker:
-    byte-identical copies are interchangeable, so which one the Min(uid)
-    winner pass keeps cannot change the output bytes (the column is dropped
-    before the write)."""
+    Dedup tiebreakers: ``uh`` is a DETERMINISTIC int64 hash of the url (the
+    stage-1 winner key, so which url survives is stable across runs) and
+    ``uid`` a random per-row int64 (stage-2 collapse of byte-identical
+    copies of the winning (text, url) — interchangeable, so randomness
+    cannot change the output bytes). Both columns are dropped before the
+    write."""
+    import struct as _struct
+
     import numpy as np
+
+    from ..functions.hashing import text_md5 as _md5  # noqa: F401
+
+    def url_hash(u: str) -> int:
+        import hashlib as _hl
+
+        return _struct.unpack(
+            "<q", _hl.sha1(u.encode("utf-8")).digest()[:8]
+        )[0]
 
     text = batch.column("text")
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
@@ -47,6 +60,8 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         [detect_lang(t) for t in text.to_pylist()], pa.string()
     )
     hashes = pa.array([text_md5(t) for t in text.to_pylist()], pa.string())
+    urls = batch.column("url").to_pylist()
+    uh = pa.array([url_hash(u) for u in urls], pa.int64())
     uid = pa.array(
         np.random.randint(-(2**62), 2**62, size=batch.num_rows,
                           dtype=np.int64)
@@ -63,9 +78,53 @@ def quality_batch(batch: pa.Table) -> pa.Table:
             "n_chars": n_chars,
             "n_tokens": n_tokens,
             "h": hashes,
+            "uh": uh,
             "uid": uid,
         }
     ).filter(keep)
+
+
+def _keep_min_pairs(ds, key_col: str, n_rows: int):
+    """Filter ``ds`` to rows whose (h, key_col) equals the per-h Min of
+    ``key_col`` — shuffling only (h, key) pairs; broadcast winner set below
+    the threshold, co-partitioned hash-join above."""
+    from ray.data.aggregate import Min
+
+    winners = ds.select_columns(["h", key_col]).groupby("h").aggregate(
+        Min(key_col)
+    )
+    if n_rows <= CORPUS_BROADCAST_MAX_ROWS:
+        import ray
+
+        from ..functions.broadcast import get_broadcast
+
+        keep: set = set()
+        for b in winners.iter_batches(batch_format="pyarrow"):
+            keep.update(zip(b.column("h").to_pylist(),
+                            b.column(f"min({key_col})").to_pylist()))
+        keep_ref = ray.put(keep)
+
+        def winner_rows(batch: pa.Table) -> pa.Table:
+            k = get_broadcast(keep_ref)
+            mask = [
+                (h, u) in k
+                for h, u in zip(batch.column("h").to_pylist(),
+                                batch.column(key_col).to_pylist())
+            ]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        return ds.map_batches(winner_rows, batch_format="pyarrow")
+    from ..functions.cluster import join_partitions
+
+    return ds.join(
+        winners.map_batches(
+            lambda b: b.rename_columns(["h", key_col]),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=join_partitions(rows=n_rows),
+        on=("h", key_col),
+    )
 
 
 def run_corpus_pipeline(page_files: List[str], out_dir: str) -> Dict:
@@ -77,50 +136,18 @@ def run_corpus_pipeline(page_files: List[str], out_dir: str) -> Dict:
     ds = ds.materialize()  # counted + deduped
     n_quality = ds.count()
 
-    # exact dedup, one winner row per distinct text. The shuffle moves ONLY
-    # (h, uid) pairs — never the page text: a vectorized Min aggregate picks
-    # each hash's winner uid, and the winner set filters the full rows — via
-    # a broadcast set below the threshold, via a hash-join on (h, uid)
-    # above it.
-    from ray.data.aggregate import Min
-
-    winners = ds.select_columns(["h", "uid"]).groupby("h").aggregate(
-        Min("uid")
-    )
-    if n_quality <= CORPUS_BROADCAST_MAX_ROWS:
-        import ray
-
-        from ..functions.broadcast import get_broadcast
-
-        keep: set = set()
-        for b in winners.iter_batches(batch_format="pyarrow"):
-            keep.update(zip(b.column("h").to_pylist(),
-                            b.column("min(uid)").to_pylist()))
-        keep_ref = ray.put(keep)
-
-        def winner_rows(batch: pa.Table) -> pa.Table:
-            k = get_broadcast(keep_ref)
-            mask = [
-                (h, u) in k
-                for h, u in zip(batch.column("h").to_pylist(),
-                                batch.column("uid").to_pylist())
-            ]
-            return batch.filter(pa.array(mask, pa.bool_()))
-
-        clean = ds.map_batches(winner_rows, batch_format="pyarrow")
-    else:
-        from ..functions.cluster import join_partitions
-
-        clean = ds.join(
-            winners.map_batches(
-                lambda b: b.rename_columns(["h", "uid"]),
-                batch_format="pyarrow",
-            ),
-            join_type="inner",
-            num_partitions=join_partitions(rows=n_quality),
-            on=("h", "uid"),
-        )
-    clean = clean.drop_columns(["uid"])
+    # exact dedup, one winner row per distinct text; both stages shuffle
+    # ONLY (h, key) pairs — never the page text.
+    #   stage 1: deterministic winner URL per text (min url-hash) — the
+    #            surviving rows of each text are byte-identical copies
+    #   stage 2: collapse those copies to one row (min random uid; which
+    #            copy wins is interchangeable, output bytes identical)
+    # (no mid-materialize: stage 2's two consumers re-run stage 1's cheap
+    # filter map over the already-materialized quality rows rather than
+    # holding a second corpus-sized copy in the object store)
+    clean = _keep_min_pairs(ds, "uh", n_quality)
+    clean = _keep_min_pairs(clean, "uid", n_quality)
+    clean = clean.drop_columns(["uh", "uid"])
     clean_dir = os.path.join(out_dir, "clean")
     shard = os.path.join(clean_dir, "shard=all")
     import shutil

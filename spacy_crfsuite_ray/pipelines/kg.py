@@ -351,12 +351,26 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
             import threading
 
             ct = ct.materialize()
+
             # the edges/nodes passes read the MATERIALIZED dataset, not the
             # parquet — so the triples write proceeds on a side thread and
-            # joins before its manifest is recorded (see below)
-            triples_write = threading.Thread(
-                target=ct.write_parquet, args=(triples_shard,)
-            )
+            # joins before its manifest is recorded (see below). The thread
+            # captures any write failure so the join RE-RAISES it — a
+            # manifest must never be recorded over a failed/partial write.
+            class _WriteThread(threading.Thread):
+                def run(self):
+                    self.error = None
+                    try:
+                        ct.write_parquet(triples_shard)
+                    except BaseException as exc:  # re-raised at join
+                        self.error = exc
+
+                def join_checked(self):
+                    self.join()
+                    if self.error is not None:
+                        raise self.error
+
+            triples_write = _WriteThread()
             triples_write.start()
             canonical_triples = ct
         else:
@@ -379,9 +393,10 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
 
     def _finish_triples():
         """Join the overlapped write (if any) and record the manifest —
-        called after the edges pass so the write streams concurrently."""
+        called after the edges pass so the write streams concurrently.
+        A failed write re-raises here, BEFORE the manifest exists."""
         if triples_write is not None:
-            triples_write.join()
+            triples_write.join_checked()
         write_manifest(dirs["triples"], "all",
                        input_refs=[os.path.join(out_dir, "tagged")],
                        rows_out=n_triples,

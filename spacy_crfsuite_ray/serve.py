@@ -57,10 +57,16 @@ def make_handler(model_path: Optional[str] = None,
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 text = req["text"]
-            except (KeyError, ValueError, json.JSONDecodeError):
-                self._send(400, {"error": "body must be JSON with 'text'"})
+                texts = [text] if isinstance(text, str) else list(text)
+                if not all(isinstance(t, str) for t in texts):
+                    raise TypeError("text items must be strings")
+            except (KeyError, TypeError, ValueError, json.JSONDecodeError):
+                # KeyError: no 'text'; TypeError: non-object body / non-str
+                # non-iterable text — all malformed requests get a 400, never
+                # a dropped connection
+                self._send(400, {"error": "body must be JSON with 'text': "
+                                          "str | [str, ...]"})
                 return
-            texts = [text] if isinstance(text, str) else list(text)
             try:
                 data = parse_texts(texts, model_path, config)
             except Exception as exc:  # surface model errors as 500 JSON

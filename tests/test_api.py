@@ -61,6 +61,12 @@ def test_http_serve_parse_and_status():
 
         conn.request("POST", "/parse", "notjson")
         assert conn.getresponse().status == 400
+        # malformed-but-valid-JSON bodies must 400, never drop the connection
+        for bad in ("[1,2]", '{"text": 5}', '{"text": null}',
+                    '{"text": [1]}', "{}"):
+            conn.request("POST", "/parse", bad,
+                         {"Content-Type": "application/json"})
+            assert conn.getresponse().status == 400, bad
         conn.request("GET", "/nope")
         assert conn.getresponse().status == 404
     finally:

@@ -58,3 +58,28 @@ def test_corpus_dedup_join_twin_equals_broadcast(ray_session, tmp_path,
     b = clean_df(str(tmp_path / "out_b"))
     assert a.equals(b)
     assert "uid" not in a.columns
+
+
+def test_corpus_dedup_winner_deterministic(ray_session, tmp_path):
+    """Same text under DIFFERENT urls: the kept url must be identical across
+    independent runs (stage-1 winner key is a deterministic url hash)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spacy_crfsuite_ray.pipelines.corpus import run_corpus_pipeline
+
+    html = "<html><body><p>" + "Alice Martin works at Acme Corp. " * 10 \
+        + "</p></body></html>"
+    rows = [{"url": f"https://site{i}.example/x", "warc_ts": "2024",
+             "html": html, "text": "", "lang": "en"} for i in range(6)]
+    src = str(tmp_path / "p.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+
+    urls = []
+    for run in ("a", "b"):
+        out = str(tmp_path / f"out_{run}")
+        stats = run_corpus_pipeline([src], out)
+        t = pq.read_table(os.path.join(stats["clean_dir"], "shard=all"))
+        assert t.num_rows == 1  # one winner for the one distinct text
+        urls.append(t.column("url").to_pylist()[0])
+    assert urls[0] == urls[1]

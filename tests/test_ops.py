@@ -188,3 +188,8 @@ def test_sketches_batch_invariant(ray_session):
                         hll_registers(vals[4000:]))
     assert np.array_equal(whole, merged)
     assert abs(hll_estimate(whole) - 3777) / 3777 < 0.05
+    # accuracy must hold far beyond the linear-counting regime too (the
+    # rank-based estimator path, >> 4096 registers)
+    big = np.arange(150_000, dtype=np.int64) * 7919 + 13
+    est = hll_estimate(hll_registers(big))
+    assert abs(est - 150_000) / 150_000 < 0.05
