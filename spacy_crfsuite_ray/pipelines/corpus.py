@@ -44,8 +44,6 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
     import numpy as np
 
-    from ..functions.hashing import text_md5 as _md5  # noqa: F401
-
     def url_hash(u: str) -> int:
         import hashlib as _hl
 
