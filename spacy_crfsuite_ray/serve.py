@@ -17,10 +17,16 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
 from .api import parse_texts
+
+# ThreadingHTTPServer handles requests concurrently, but the warm FastTagger
+# mutates its per-token encode cache during tagging — inference is serialized
+# (the model itself is the bottleneck; batch within one request for speed)
+_PARSE_LOCK = threading.Lock()
 
 
 def make_handler(model_path: Optional[str] = None,
@@ -68,7 +74,8 @@ def make_handler(model_path: Optional[str] = None,
                                           "str | [str, ...]"})
                 return
             try:
-                data = parse_texts(texts, model_path, config)
+                with _PARSE_LOCK:
+                    data = parse_texts(texts, model_path, config)
             except Exception as exc:  # surface model errors as 500 JSON
                 self._send(500, {"error": str(exc)})
                 return

@@ -83,3 +83,41 @@ def test_tokenizer_abc_extension_point():
     Upper().tokenize(msg)
     assert msg["tokens"] == ["A", "B"]
     assert isinstance(RegexTokenizer(), Tokenizer)
+
+
+def test_http_serve_concurrent_requests():
+    """Concurrent /parse requests must all succeed with correct results
+    (inference serialized over the shared warm tagger)."""
+    import json
+    import threading
+    from http.client import HTTPConnection
+
+    from spacy_crfsuite_ray.serve import make_server
+
+    srv = make_server()
+    host, port = srv.server_address
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    results, errors = [], []
+
+    def one(i):
+        try:
+            c = HTTPConnection(host, port, timeout=60)
+            c.request("POST", "/parse",
+                      json.dumps({"text": "Alice Martin works at Acme Corp."}),
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            assert r.status == 200
+            out = json.loads(r.read())
+            vals = {e["value"] for e in out["data"][0]["entities"]}
+            results.append("Alice Martin" in vals)
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    srv.shutdown()
+    srv.server_close()
+    assert not errors and len(results) == 8 and all(results)
