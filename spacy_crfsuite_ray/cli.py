@@ -145,8 +145,10 @@ def main(argv=None) -> int:
     k.add_argument("--shards", type=int, default=1)
     k.add_argument("--files-per-shard", type=int, default=None,
                    help="incremental-ingest mode: fixed-size name-sorted "
-                        "file chunks with content-hash shard ids; "
-                        "appending inputs re-runs only new chunks")
+                        "file chunks with name-hash shard ids (manifests "
+                        "record file size+mtime, so an in-place rewrite "
+                        "re-runs its chunk); appending inputs re-runs only "
+                        "new chunks")
     k.set_defaults(fn=cmd_kg)
 
     args = p.parse_args(argv)

@@ -641,13 +641,10 @@ def event_props_stats(sf_dir: str) -> "rd.Dataset":
         .groupby("event_type")
         .sum(["k", "one"])
     )
+    from ..functions.tables import stable_rename
+
     return ds.map_batches(
-        lambda b: pa.table(
-            {
-                "event_type": b.column("event_type"),
-                "sum_k": b.column("sum(k)"),
-                "n_events": b.column("sum(one)"),
-            }
-        ),
+        stable_rename(["event_type", "sum_k", "n_events"],
+                      [pa.string(), pa.int64(), pa.int64()]),
         batch_format="pyarrow",
     )

@@ -63,7 +63,11 @@ def make_handler(model_path: Optional[str] = None,
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 text = req["text"]
-                texts = [text] if isinstance(text, str) else list(text)
+                if not isinstance(text, (str, list)):
+                    # a dict/number would otherwise be iterated (dict keys
+                    # are strings!) and silently parsed — reject explicitly
+                    raise TypeError("text must be str or list of str")
+                texts = [text] if isinstance(text, str) else text
                 if not all(isinstance(t, str) for t in texts):
                     raise TypeError("text items must be strings")
             except (KeyError, TypeError, ValueError, json.JSONDecodeError):

@@ -87,6 +87,19 @@ def edge_observation_combiner(batch: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------- manifests
 
 
+def input_ref_entries(paths: List[str]) -> List[str]:
+    """Lineage refs that invalidate on an IN-PLACE rewrite of an input file:
+    ``path|size|mtime_ns``. Shard pids stay name-keyed (stable across appends,
+    pipelines/kg.py:_stable_shard_groups) but a manifest recorded against
+    these refs fails validation when any input's bytes change, so the shard
+    re-runs instead of silently reusing stale output."""
+    out = []
+    for p in paths:
+        st = os.stat(p)
+        out.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+    return out
+
+
 def write_manifest(
     out_dir: str,
     partition_id: str,

@@ -9,13 +9,15 @@ uses, so Ray and oracle agree exactly. Hot blocks are bounded: a block is
 keyed by a minhash band, so its size is the number of near-duplicate surfaces,
 not the number of mentions.
 
-The final surface→canonical mapping is tiny relative to the corpus (unique
-normalized surfaces); it is collected to the driver, chain-flattened, and
-BROADCAST via ``ray.put`` — read once per actor, never re-shipped per batch.
-At 10^12-page scale the same code path applies per type-partition; if unique
-surfaces outgrow driver memory the documented scale path is a key-partitioned
-(type, norm)-hash join of the mapping against mentions/triples instead of the
-broadcast (the mapping dataset is already keyed for it).
+The final surface→canonical mapping is small relative to the corpus (unique
+normalized surfaces). Below ``pipelines/kg.py:MAPPING_BROADCAST_MAX_ROWS`` it
+is collected to the driver, chain-flattened, and BROADCAST via ``ray.put`` —
+read once per actor, never re-shipped per batch. ABOVE that threshold nothing
+is collected: the mapping stays a Dataset, the chain flatten runs as a
+mapping self-join, and canonicalization is a (type, norm)-hash join of the
+mapping against triples and surfaces (``pipelines/kg.py:
+build_canonical_mapping_ds`` / ``canonicalize_triples_joined``) — byte-equal
+to the broadcast path by test (tests/test_large_paths.py).
 """
 
 from __future__ import annotations
@@ -106,6 +108,41 @@ def min_canonical_group(group: pd.DataFrame) -> pd.DataFrame:
             "canonical": [group["canonical"].min()],
         }
     )
+
+
+def _encode_unique(col):
+    """Dictionary-encode a (possibly chunked) string column; returns
+    (unique_values_list, indices) for resolve-unique-then-gather patterns."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    return enc.dictionary.to_pylist(), enc.indices
+
+
+def normalized_col(value_col) -> pa.Array:
+    """normalize_surface per UNIQUE value (surfaces repeat heavily), expanded
+    back with a vectorized take — the join-path twin of the broadcast
+    stage's dictionary-encoded resolve."""
+    import pyarrow.compute as pc
+
+    uniq, idx = _encode_unique(value_col)
+    norms = pa.array([normalize_surface(v) for v in uniq], pa.string())
+    return pc.take(norms, idx)
+
+
+def node_ids_col(canon_col, type_col) -> pa.Array:
+    """Deterministic surrogate ids, sha1 once per UNIQUE (canonical, type)."""
+    import pyarrow.compute as pc
+
+    comb = pc.binary_join_element_wise(
+        pc.cast(canon_col, pa.string()), pc.cast(type_col, pa.string()), "\x1f"
+    )
+    uniq, idx = _encode_unique(comb)
+    ids = []
+    for s in uniq:
+        c, t = s.rsplit("\x1f", 1)
+        ids.append(node_id(c, t))
+    return pc.take(pa.array(ids, pa.string()), idx)
 
 
 def flatten_chains(mapping_df: pd.DataFrame) -> Dict[Tuple[str, str], str]:

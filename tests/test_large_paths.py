@@ -108,3 +108,68 @@ def test_embedding_lsh_precision_and_recall(ray_session, monkeypatch):
     lsh = pairs(dedup.embedding_dup_pairs)
     assert lsh <= exact  # precision 1.0 (exact verification inside buckets)
     assert len(lsh) / len(exact) >= 0.9  # measured ≥0.95 at defaults
+
+
+def test_mapping_join_path_equals_broadcast(pages, monkeypatch):
+    """Above MAPPING_BROADCAST_MAX_ROWS the surface→canonical mapping stays a
+    Dataset (self-join chain flatten + (type, norm) hash-joins against
+    triples and surfaces). Forced here, it must be byte-identical to the
+    broadcast path on every output table."""
+    from spacy_crfsuite_ray.pipelines import kg
+
+    files, base = pages
+    out_bcast = os.path.join(base, "out_bcast")
+    out_join = os.path.join(base, "out_join")
+
+    kg.run_phase1(files, out_bcast, shards=2)
+    kg.run_phase1(files, out_join, shards=2)
+
+    monkeypatch.setattr(kg, "DRIVER_MERGE_MAX_ROWS", 0)
+    kg.run_phase2(out_bcast)  # distributed linking, broadcast mapping apply
+    monkeypatch.setattr(kg, "MAPPING_BROADCAST_MAX_ROWS", 0)
+    kg.run_phase2(out_join)  # mapping never leaves the cluster
+
+    t_cols = ["subj", "pred", "obj", "subj_canonical", "obj_canonical",
+              "subj_id", "obj_id", "url"]
+    a = _read_sorted(os.path.join(out_bcast, "triples"), t_cols)
+    b = _read_sorted(os.path.join(out_join, "triples"), t_cols)
+    assert a.equals(b)
+    assert len(a) > 0
+
+    n_cols = ["node_id", "canonical", "type", "n_mentions"]
+    a = _read_sorted(os.path.join(out_bcast, "nodes"), n_cols)
+    b = _read_sorted(os.path.join(out_join, "nodes"), n_cols)
+    assert a.equals(b)
+
+    e_cols = ["edge_id", "subj_id", "pred", "obj_id", "n_sources"]
+    a = _read_sorted(os.path.join(out_bcast, "edges"), e_cols)
+    b = _read_sorted(os.path.join(out_join, "edges"), e_cols)
+    assert a.equals(b)
+
+
+def test_phase1_reruns_on_inplace_input_rewrite(ray_session, tmp_path_factory):
+    """Shard pids are name-keyed, but manifests record size+mtime input refs:
+    rewriting an input file in place must re-run its shard, not silently
+    reuse stale output."""
+    import shutil as _shutil
+
+    from spacy_crfsuite_ray.pipelines import kg
+    from spacy_crfsuite_ray.sources.pages import generate_pages, page_files
+
+    base = str(tmp_path_factory.mktemp("rw"))
+    pages_dir, _ = generate_pages(24, base, rows_per_file=12)
+    files = page_files(pages_dir)
+    out = os.path.join(base, "out")
+
+    s1 = kg.run_phase1(files, out, files_per_shard=1)
+    assert s1["shards_run"] == len(files)
+    s2 = kg.run_phase1(files, out, files_per_shard=1)
+    assert s2["shards_run"] == 0 and s2["shards_skipped"] == len(files)
+
+    # rewrite one file in place (same name, same content, new mtime)
+    tmp_copy = files[0] + ".copy"
+    _shutil.copyfile(files[0], tmp_copy)
+    os.replace(tmp_copy, files[0])
+
+    s3 = kg.run_phase1(files, out, files_per_shard=1)
+    assert s3["shards_run"] == 1 and s3["shards_skipped"] == len(files) - 1
