@@ -137,10 +137,28 @@ def _domain_stats(sf_dir: str):
             }
         )
 
-    return salted_sum(
-        triples.map_batches(with_domain, batch_format="pyarrow"),
-        keys=["domain"], value_col="one", out_name="n_triples",
+    domains = triples.map_batches(with_domain, batch_format="pyarrow")
+    sal = salted_sum(
+        domains, keys=["domain"], value_col="one", out_name="n_triples",
+    ).to_pandas()
+    # self-reported exact twin (in-band verification, kg_oracle_prf-style):
+    # the plain unsalted groupby over the same derived column must agree
+    # with the salted two-stage result row for row
+    from spacy_crfsuite_ray.functions.tables import stable_rename
+
+    exact = (
+        domains.groupby("domain")
+        .sum("one")
+        .map_batches(
+            stable_rename(["domain", "n_triples_exact"],
+                          [pa.string(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
     )
+    out = sal.merge(exact, on="domain", how="outer")
+    out["match"] = out["n_triples"] == out["n_triples_exact"]
+    return out.sort_values("domain").reset_index(drop=True)
 
 
 def _kg_oracle_prf(sf_dir: str):

@@ -43,20 +43,29 @@ def _query_matrix(sf_dir: str, n_queries: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _corpus_meta(sf_dir: str, sample_rows: int = 0):
-    """(row count, dim, bounded sample) from parquet metadata + a bounded
-    batch read — driver cost independent of corpus size."""
+    """(row count, dim, bounded UNIFORM sample) from parquet metadata + a
+    bounded read. The sample is spread over evenly-spaced row groups with a
+    stride inside each — a leading-prefix sample would bias k-means
+    centroids badly when the file is written clustered/sorted; this stays
+    unbiased under any row ordering while the driver reads only a bounded
+    number of row groups."""
     path = f"{sf_dir}/embeddings.parquet"
     n_rows = pq.read_metadata(path).num_rows
     pf = pq.ParquetFile(path)
+    if not sample_rows:
+        first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+        arr = np.asarray(first.column(0).to_pylist(), dtype=np.float64)
+        return n_rows, arr.shape[1], arr
+    n_rg = pf.metadata.num_row_groups
+    g_idx = np.unique(np.linspace(0, n_rg - 1, min(n_rg, 8)).astype(int))
+    per_g = -(-sample_rows // len(g_idx))
     chunks = []
-    got = 0
-    for b in pf.iter_batches(batch_size=10_000, columns=["embedding"]):
-        chunks.append(np.asarray(b.column(0).to_pylist(), dtype=np.float64))
-        got += len(chunks[-1])
-        if got >= max(1, sample_rows):
-            break
-    sample = np.concatenate(chunks)[:max(1, sample_rows)] if sample_rows \
-        else chunks[0][:1]
+    for g in g_idx:
+        tbl = pf.read_row_group(int(g), columns=["embedding"])
+        arr = np.asarray(tbl.column(0).to_pylist(), dtype=np.float64)
+        stride = max(1, len(arr) // per_g)
+        chunks.append(arr[::stride][:per_g])
+    sample = np.concatenate(chunks)[:sample_rows]
     return n_rows, sample.shape[1], sample
 
 

@@ -24,8 +24,6 @@ import ray.data as rd
 
 from ..functions.hashing import (
     _shingle_hashes,
-    minhash_bands,
-    minhash_signature_from_hashes,
     simhash64,
     text_md5,
     word_shingles,
@@ -34,7 +32,11 @@ from ..functions.hashing import (
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 16
 DEFAULT_THRESHOLD = 0.5
-SIMHASH_MAX_HAMMING = 10
+# Default simhash radius. Banding is DERIVED from the radius (pigeonhole:
+# max_hamming + 1 blocks), so candidate recall is 1.0 at whatever radius is
+# configured — the radius dials cost (block width = 64//(r+1) bits), not
+# silent recall loss.
+SIMHASH_MAX_HAMMING = 3
 
 
 def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
@@ -107,6 +109,7 @@ def _jaccard_hashed(a: np.ndarray, b: np.ndarray) -> float:
 
 
 _VERIFY_CACHE: dict = {}
+_BAND_PERM_CACHE: dict = {}
 
 
 def make_verify_jaccard(sh_ref):
@@ -322,21 +325,54 @@ def minhash_dedup_pairs(
     ).materialize()
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        band_keys: List[str] = []
-        doc_ids: List[int] = []
-        for doc_id, shb in zip(
-            batch.column("doc_id").to_pylist(), batch.column("sh").to_pylist()
-        ):
-            sig = minhash_signature_from_hashes(
-                np.frombuffer(shb, dtype=np.uint64), num_perm
+        """Whole-batch minhash banding: ONE (perm-chunked) 2-D universal-hash
+        + ``minimum.reduceat`` over the concatenated shingle hashes of every
+        doc, then vectorized band-key mixing — no per-doc Python loop. Band
+        keys are int64 mixes of each signature band (a ~2^-64 key collision
+        only adds a candidate pair, which exact verification then filters, so
+        cheap mixing is safe where a cryptographic hash is not needed)."""
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        shb_list = batch.column("sh").to_pylist()
+        lens = np.array([len(b) >> 3 for b in shb_list], dtype=np.int64)
+        n = len(ids)
+        sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        nonempty = np.nonzero(lens > 0)[0]
+        if nonempty.size:
+            hv = np.frombuffer(
+                b"".join(shb_list[i] for i in nonempty), dtype=np.uint64
             )
-            for key in minhash_bands(sig, bands):
-                band_keys.append(key)
-                doc_ids.append(doc_id)
+            ne_lens = lens[nonempty]
+            starts = np.concatenate(
+                [[0], np.cumsum(ne_lens)[:-1]]
+            ).astype(np.int64)
+            from ..functions.hashing import _perm_params
+
+            if num_perm not in _BAND_PERM_CACHE:
+                _BAND_PERM_CACHE[num_perm] = _perm_params(num_perm)
+            a, b_ = _BAND_PERM_CACHE[num_perm]
+            with np.errstate(over="ignore"):
+                for p0 in range(0, num_perm, 16):  # bound the temp matrix
+                    p1 = min(p0 + 16, num_perm)
+                    vals = a[p0:p1, None] * hv[None, :] + b_[p0:p1, None]
+                    sig[nonempty, p0:p1] = np.minimum.reduceat(
+                        vals, starts, axis=1
+                    ).T
+        # mix each band of the signature into one int64 key (vectorized)
+        rows = num_perm // bands
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        band_keys = np.empty((bands, n), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(bands):
+                k = np.full(n, np.uint64(j * 2 + 1), dtype=np.uint64)
+                for r in range(rows):
+                    k = (k ^ sig[:, j * rows + r]) * mix
+                band_keys[j] = k
         return pa.table(
             {
-                "band": pa.array(band_keys, pa.string()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(
+                    band_keys.reshape(-1).view(np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
             }
         )
 
@@ -374,18 +410,57 @@ def minhash_dedup_pairs(
     )
 
 
+_TOKEN_HASH_MEMO: dict = {}
+
+
+def _simhash_batch(texts) -> np.ndarray:
+    """Whole-batch 64-bit simhash (Charikar 2002): per-worker token-hash memo
+    (vocabulary repeats heavily across batches), then ONE unpackbits +
+    ``add.reduceat`` over the concatenated token hashes — no per-doc Python
+    bit math. Bit-exact twin of ``functions.hashing.simhash64`` (tested)."""
+    import hashlib
+    import struct
+
+    memo = _TOKEN_HASH_MEMO
+    all_h: List[int] = []
+    lens = []
+    for text in texts:
+        toks = text.lower().split()
+        lens.append(len(toks))
+        for t in toks:
+            h = memo.get(t)
+            if h is None:
+                h = struct.unpack(
+                    "<Q", hashlib.sha1(t.encode("utf-8")).digest()[:8]
+                )[0]
+                if len(memo) < 2_000_000:  # bounded per-worker cache
+                    memo[t] = h
+            all_h.append(h)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.asarray(lens, dtype=np.int64)
+    nonempty = np.nonzero(lens > 0)[0]
+    if nonempty.size:
+        hv = np.asarray(all_h, dtype=np.uint64)
+        # little-endian byte view matches struct.pack("<Q") in simhash64
+        bits = np.unpackbits(hv.view(np.uint8).reshape(-1, 8), axis=1)
+        signed = bits.astype(np.int32) * 2 - 1
+        starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+        acc = np.add.reduceat(signed, starts, axis=0)
+        packed = np.packbits((acc > 0).astype(np.uint8), axis=1)
+        out[nonempty] = packed.view(">u8").reshape(-1)
+    return out
+
+
 def simhash_docs(sf_dir: str) -> "rd.Dataset":
     """Per-doc 64-bit simhash over word tokens (stored as int64 bit-cast)."""
 
     def sh(batch: pa.Table) -> pa.Table:
-        vals = [
-            np.uint64(simhash64(text.lower().split())).astype(np.int64)
-            for text in batch.column("text").to_pylist()
-        ]
+        vals = _simhash_batch(batch.column("text").to_pylist())
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array([int(v) for v in vals], pa.int64()),
+                "simhash": pa.array(vals.view(np.int64), pa.int64()),
             }
         )
 
@@ -394,28 +469,57 @@ def simhash_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def _simhash_band_layout(max_hamming: int):
+    """Pigeonhole banding: ``max_hamming + 1`` contiguous blocks over the 64
+    bits (widths as equal as possible). Any pair within hamming distance
+    ``max_hamming`` differs in at most ``max_hamming`` blocks, so it SHARES
+    at least one identical block — candidate recall is guaranteed 1.0 at the
+    configured radius (verified against exact all-pairs hamming in tests).
+    The cost dial: block width = 64 // (r+1); bucket sizes grow ~2^-width x
+    corpus, so wide radii trade shuffle-group size for recall — pick the
+    radius you actually need."""
+    b = min(max_hamming + 1, 64)
+    base, extra = divmod(64, b)
+    widths = [base + 1] * extra + [base] * (b - extra)
+    offsets = np.cumsum([0] + widths[:-1]).astype(np.uint64)
+    return offsets, np.asarray(widths, dtype=np.uint64)
+
+
+def _simhash_band_keys(hashes: np.ndarray, max_hamming: int) -> np.ndarray:
+    """(n,) uint64 simhashes → (bands, n) int64 band keys (vectorized mix of
+    block value + block index; a ~2^-64 key collision only adds a candidate
+    pair, which exact hamming verification then drops)."""
+    offsets, widths = _simhash_band_layout(max_hamming)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    keys = np.empty((len(offsets), len(hashes)), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j, (off, w) in enumerate(zip(offsets, widths)):
+            mask = (np.uint64(1) << w) - np.uint64(1) if w < 64 else np.uint64(~np.uint64(0))
+            val = (hashes >> off) & mask
+            keys[j] = ((val + np.uint64(2 * j + 1)) * mix) ^ np.uint64(j)
+    return keys.view(np.int64)
+
+
 def simhash_dedup_pairs(
     sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
 ) -> "rd.Dataset":
-    """SimHash near-dup: band the 64-bit hash into 4×16-bit keys (any pair
-    within hamming ≤ 16-bit-band collisions shares ≥1 band for hamming ≤ 3;
-    wider radii trade recall), verify exact hamming distance."""
+    """SimHash near-dup: pigeonhole banding into ``max_hamming + 1`` blocks
+    (candidate recall 1.0 at the configured radius by construction — see
+    ``_simhash_band_layout``), exact hamming verification inside each band
+    group, pair dedup by (a, b) groupby."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        bands, ids, hashes = [], [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            h = simhash64(text.lower().split())
-            for i in range(4):
-                bands.append(f"{i}:{(h >> (16 * i)) & 0xFFFF:04x}")
-                ids.append(doc_id)
-                hashes.append(np.uint64(h).astype(np.int64))
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        hashes = _simhash_batch(batch.column("text").to_pylist())
+        keys = _simhash_band_keys(hashes, max_hamming)
+        n_bands = keys.shape[0]
         return pa.table(
             {
-                "band": pa.array(bands, pa.string()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "simhash": pa.array([int(x) for x in hashes], pa.int64()),
+                "band": pa.array(keys.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, n_bands), pa.int64()),
+                "simhash": pa.array(
+                    np.tile(hashes.view(np.int64), n_bands), pa.int64()
+                ),
             }
         )
 
@@ -535,20 +639,19 @@ def _emb_n_planes(n_rows: int) -> int:
     return max(2, int(np.log2(max(4.0, n_rows / 512.0))))
 
 
-def embedding_dup_pairs_lsh(
-    sf_dir: str,
-    threshold: float = 0.40,
-    n_tables: int = EMB_LSH_TABLES,
-    n_planes: int | None = None,
-) -> "rd.Dataset":
-    """Hyperplane-LSH bucketed embedding near-dup: each vector lands in ONE
-    bucket per table (map_batches), candidate pairs form only inside a
-    bucket (bounded groupby groups), cosine is verified exactly there, and a
-    final (a, b) groupby dedupes pairs found by multiple tables.
+# Above this many embedding rows the LSH path stops shipping vectors through
+# the bucket shuffle (which replicates each vector once per table — ~n_tables
+# x corpus embedding volume): buckets then move only (bk, vec_id) int pairs,
+# and verification is a candidates ⋈ vectors double hash-join (vectors cross
+# the wire exactly twice, independent of table count) — the same pattern as
+# the minhash ``_verify_pairs_joined`` path. Tradeoff: candidate PAIR rows
+# (16 B) replace in-bucket vector copies (8·dim B per table), so the join
+# path wins whenever pairs-per-bucket < dim·n_tables/4 — true at the ~512
+# bucket-size target for dim ≥ 64.
+EMB_LSH_SHUFFLE_VECTORS_MAX_ROWS = 2_000_000
 
-    Recall for a pair at cosine c is 1-(1-p^b)^T with p = 1 - arccos(c)/pi;
-    at the 0.4 defaults (b from ``_emb_n_planes``, T=16) that is ≥0.95 for
-    test-scale bucket counts — measured against the exact path in tests."""
+
+def _emb_lsh_tables(sf_dir: str, n_tables: int, n_planes: int | None):
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/embeddings.parquet"
@@ -560,27 +663,59 @@ def embedding_dup_pairs_lsh(
     dim = len(first.column(0)[0])
     rng = np.random.RandomState(EMB_LSH_SEED)
     tables = rng.normal(size=(n_tables, n_planes, dim))  # tiny; ships in fn
+    return path, n_rows, n_planes, tables
+
+
+def _bucket_keys(vecs: np.ndarray, tables: np.ndarray,
+                 n_planes: int) -> np.ndarray:
+    """(n_tables, n) int64 bucket keys for normalized vectors."""
+    powers = 1 << np.arange(n_planes)
+    keys = np.empty((len(tables), len(vecs)), dtype=np.int64)
+    for ti in range(len(tables)):
+        bits = (vecs @ tables[ti].T) > 0
+        keys[ti] = ti * (1 << n_planes) + (bits * powers).sum(axis=1)
+    return keys
+
+
+def embedding_dup_pairs_lsh(
+    sf_dir: str,
+    threshold: float = 0.40,
+    n_tables: int = EMB_LSH_TABLES,
+    n_planes: int | None = None,
+) -> "rd.Dataset":
+    """Hyperplane-LSH bucketed embedding near-dup: each vector lands in ONE
+    bucket per table (map_batches), candidate pairs form only inside a
+    bucket (bounded groupby groups), cosine is verified exactly, and a final
+    (a, b) groupby dedupes pairs found by multiple tables.
+
+    Recall for a pair at cosine c is 1-(1-p^b)^T with p = 1 - arccos(c)/pi;
+    at the 0.4 defaults (b from ``_emb_n_planes``, T=16) that is ≥0.95 for
+    test-scale bucket counts — measured against the exact path in tests.
+    Below ``EMB_LSH_SHUFFLE_VECTORS_MAX_ROWS`` verification happens inside
+    the bucket (vectors ride the bucket shuffle); above it the joined path
+    runs (identical output, tested)."""
+    path, n_rows, n_planes, tables = _emb_lsh_tables(sf_dir, n_tables,
+                                                     n_planes)
+    if n_rows > EMB_LSH_SHUFFLE_VECTORS_MAX_ROWS:
+        return _embedding_lsh_pairs_joined(
+            path, threshold, tables, n_planes
+        )
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        vecs = np.asarray(batch.column("embedding").to_pylist(),
-                          dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        vecs = vecs / norms[:, None]
-        keys, ids, vv = [], [], []
-        powers = 1 << np.arange(n_planes)
-        for ti in range(n_tables):
-            bits = (vecs @ tables[ti].T) > 0
-            buckets = (bits * powers).sum(axis=1)
-            keys.append(ti * (1 << n_planes) + buckets)
-            ids.append(vids)
-            vv.extend(vecs.tolist())
+        vecs = _normalize_rows(
+            np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        )
+        keys = _bucket_keys(vecs, tables, n_planes)
         return pa.table(
             {
-                "bk": pa.array(np.concatenate(keys), pa.int64()),
-                "vec_id": pa.array(np.concatenate(ids), pa.int64()),
-                "v": pa.array(vv, pa.list_(pa.float64())),
+                "bk": pa.array(keys.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.tile(vids, len(tables)), pa.int64()),
+                "v": pa.array(
+                    np.tile(vecs, (len(tables), 1)).tolist(),
+                    pa.list_(pa.float64()),
+                ),
             }
         )
 
@@ -604,3 +739,104 @@ def embedding_dup_pairs_lsh(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return _dedupe_pairs_ds(bucketed)
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def _embedding_lsh_pairs_joined(
+    path: str, threshold: float, tables: np.ndarray, n_planes: int
+) -> "rd.Dataset":
+    """At-scale LSH verification: buckets shuffle only (bk, vec_id); the
+    deduped candidate pairs hash-join the normalized-vector table on each
+    side (vectors serialized as float64 bytes — Acero joins reject list
+    columns), then exact cosine filters. Identical pairs to the in-bucket
+    path by construction (same buckets, same exact verification) — asserted
+    in tests."""
+    from ..functions.cluster import join_partitions
+
+    def vec_rows(batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = _normalize_rows(
+            np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "vb": pa.array([v.tobytes() for v in vecs], pa.binary()),
+            }
+        )
+
+    def bucket_ids(batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = _normalize_rows(
+            np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        )
+        keys = _bucket_keys(vecs, tables, n_planes)
+        return pa.table(
+            {
+                "bk": pa.array(keys.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.tile(vids, len(tables)), pa.int64()),
+            }
+        )
+
+    def bucket_id_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["vec_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(
+                {"a": "int64", "b": "int64"}
+            )
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+    import pyarrow.parquet as pq
+
+    src = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    vec_ds = src.map_batches(vec_rows, batch_format="pyarrow").materialize()
+    # NO dedupe before the join: a pair found by k tables rides the join k
+    # times (bounded by n_tables — linear work), because a pre-join
+    # (a, b)-groupby would pay Ray's per-GROUP cost on every FALSE candidate
+    # (measured: ~0.5 ms/group — 300 s for 500k candidate groups at fixture
+    # scale). Dedup happens after verification, when only true pairs remain.
+    cand = (
+        src.map_batches(bucket_ids, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_id_pairs, batch_format="pandas")
+    )
+    # row-bounded partition count: join aggregator ACTORS must never exceed
+    # cluster CPUs (they hang unschedulable) nor dominate small joins
+    parts = join_partitions(rows=pq.read_metadata(path).num_rows)
+    j = cand.join(vec_ds, join_type="inner", num_partitions=parts,
+                  on=("a",), right_on=("vec_id",))
+    j = j.join(vec_ds, join_type="inner", num_partitions=parts,
+               on=("b",), right_on=("vec_id",),
+               left_suffix="_a", right_suffix="_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        va = np.frombuffer(
+            b"".join(batch.column("vb_a").to_pylist()), dtype=np.float64
+        ).reshape(batch.num_rows, -1)
+        vb = np.frombuffer(
+            b"".join(batch.column("vb_b").to_pylist()), dtype=np.float64
+        ).reshape(batch.num_rows, -1)
+        keep = np.einsum("ij,ij->i", va, vb) >= threshold
+        return pa.table(
+            {
+                "a": pa.array(
+                    np.asarray(batch.column("a"), dtype=np.int64)[keep]
+                ),
+                "b": pa.array(
+                    np.asarray(batch.column("b"), dtype=np.int64)[keep]
+                ),
+            }
+        )
+
+    return _dedupe_pairs_ds(j.map_batches(verify, batch_format="pyarrow"))

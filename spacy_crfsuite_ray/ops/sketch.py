@@ -78,17 +78,36 @@ def distinct_hll(sf_dir: str, table: str = "lineitem",
         return pa.table({"regs": pa.array([hll_registers(vals).tobytes()],
                                           pa.binary())})
 
-    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column]) \
-        .map_batches(partial, batch_format="pyarrow")
+    src = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+    ds = src.map_batches(partial, batch_format="pyarrow")
     merged = np.zeros(1 << HLL_P, dtype=np.uint8)
     for b in ds.iter_batches(batch_format="pyarrow"):
         for blob in b.column("regs").to_pylist():
             merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+    approx = int(round(hll_estimate(merged)))
+
+    # self-reported exact twin (kg_oracle_prf-style in-band verification):
+    # per-batch unique combiner -> key groupby -> group count. The twin IS
+    # the unbounded shuffle the sketch exists to avoid — it rides along so
+    # the driver record shows the sketch's error, not just that it ran.
+    def uniq(batch: pa.Table) -> pa.Table:
+        vals = np.unique(
+            np.asarray(batch.column(column).to_pylist(), dtype=np.int64)
+        )
+        return pa.table({column: pa.array(vals, pa.int64())})
+
+    exact = src.map_batches(uniq, batch_format="pyarrow") \
+        .groupby(column).count().count()
+    rel_err = abs(approx - exact) / max(exact, 1)
     return pa.table(
         {
             "column": pa.array([f"{table}.{column}"], pa.string()),
-            "approx_distinct": pa.array([int(round(hll_estimate(merged)))],
-                                        pa.int64()),
+            "approx_distinct": pa.array([approx], pa.int64()),
+            "exact_distinct": pa.array([int(exact)], pa.int64()),
+            "rel_err_c6": pa.array(
+                [int(round(rel_err * 1_000_000))], pa.int64()
+            ),
+            "within_3pct": pa.array([rel_err <= 0.03], pa.bool_()),
         }
     )
 
@@ -145,9 +164,31 @@ def quantile_sketch(sf_dir: str, table: str = "orders",
         hi = 10 ** ((b + 1) / QUANTILE_BINS_PER_DECADE)
         qs.append(q)
         vals.append(round(float(np.sqrt(lo * hi)), 6))
+
+    # self-reported exact twin: exact quantiles of the single pruned column
+    # (driver numpy at query scale — the in-band verification record, like
+    # kg_oracle_prf; the sketch itself never needs it)
+    import pyarrow.parquet as pq
+
+    x = np.asarray(
+        pq.read_table(f"{sf_dir}/{table}.parquet", columns=[column])
+        .column(column).to_pylist(), dtype=np.float64,
+    )
+    exact_vals = [float(np.quantile(x, q)) for q in quantiles]
+    rel = [abs(v - e) / max(abs(e), 1e-12) for v, e in zip(vals, exact_vals)]
+    bound = 10 ** (1.0 / QUANTILE_BINS_PER_DECADE) - 1  # half-bin + slack
     return pa.table(
         {
             "quantile": pa.array(qs, pa.float64()),
             "approx_value": pa.array(vals, pa.float64()),
+            "exact_value": pa.array(
+                [round(e, 6) for e in exact_vals], pa.float64()
+            ),
+            "rel_err_c6": pa.array(
+                [int(round(r * 1_000_000)) for r in rel], pa.int64()
+            ),
+            "within_bin_bound": pa.array(
+                [r <= bound for r in rel], pa.bool_()
+            ),
         }
     )

@@ -22,7 +22,6 @@ to the broadcast path by test (tests/test_large_paths.py).
 
 from __future__ import annotations
 
-from collections import Counter
 from typing import Dict, Iterator, Tuple
 
 import pandas as pd
@@ -32,55 +31,64 @@ from ..core.linking import block_keys, normalize_surface, resolve_block
 from ..functions.hashing import node_id
 
 
+_SURF_SCHEMA = pa.schema(
+    [("type", pa.string()), ("norm", pa.string()), ("cnt", pa.int64())]
+)
+
+
+def _surface_counts(type_col, value_col) -> pa.Table:
+    """Vectorized combiner core: normalize per UNIQUE value (dictionary
+    encode), then ONE Arrow hash group_by — no Python Counter per row."""
+    if len(value_col) == 0:
+        return _SURF_SCHEMA.empty_table()
+    t = pa.table({"type": type_col, "norm": normalized_col(value_col)})
+    return (
+        t.group_by(["type", "norm"])
+        .aggregate([("norm", "count")])
+        .rename_columns(["type", "norm", "cnt"])
+    )
+
+
 def surface_counts_batch(batch: pa.Table) -> pa.Table:
     """Combiner: raw mentions → unique (type, norm, cnt) within the batch."""
-    counter: Counter = Counter()
-    for value, type_ in zip(
-        batch.column("value").to_pylist(), batch.column("type").to_pylist()
-    ):
-        counter[(type_, normalize_surface(value))] += 1
-    return _counter_table(counter)
+    return _surface_counts(batch.column("type"), batch.column("value"))
 
 
 def entity_surface_counts_batch(batch: pa.Table) -> pa.Table:
     """Combiner straight from tagged sentences: entities list column →
     unique (type, norm, cnt) — skips materializing one row per mention."""
-    counter: Counter = Counter()
-    for ents in batch.column("entities").to_pylist():
-        for e in ents or ():
-            counter[(e["entity"], normalize_surface(e["value"]))] += 1
-    return _counter_table(counter)
+    import pyarrow.compute as pc
 
-
-def _counter_table(counter: Counter) -> pa.Table:
-    return pa.table(
-        {
-            "type": pa.array([t for t, _ in counter], type=pa.string()),
-            "norm": pa.array([n for _, n in counter], type=pa.string()),
-            "cnt": pa.array(list(counter.values()), type=pa.int64()),
-        }
+    ents = batch.column("entities")
+    if isinstance(ents, pa.ChunkedArray):
+        ents = ents.combine_chunks()
+    flat = pc.list_flatten(ents)
+    if len(flat) == 0:
+        return _SURF_SCHEMA.empty_table()
+    return _surface_counts(
+        pc.struct_field(flat, "entity"), pc.struct_field(flat, "value")
     )
 
 
 def explode_band_keys(batch: pa.Table) -> pa.Table:
-    """(type, norm, cnt) → one row per (type, band_key, norm, cnt)."""
-    types, bands, norms, cnts = [], [], [], []
-    for type_, norm, cnt in zip(
-        batch.column("type").to_pylist(),
-        batch.column("norm").to_pylist(),
-        batch.column("cnt").to_pylist(),
-    ):
-        for key in block_keys(norm):
-            types.append(type_)
-            bands.append(key)
-            norms.append(norm)
-            cnts.append(cnt)
+    """(type, norm, cnt) → one row per (type, band_key, norm, cnt).
+    ``block_keys`` runs once per surface (the input is already unique
+    surfaces); the row expansion is a vectorized repeat + take."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    norms = batch.column("norm").to_pylist()
+    keys = [block_keys(n) for n in norms]
+    counts = np.array([len(k) for k in keys], dtype=np.int64)
+    idx = pa.array(np.repeat(np.arange(len(norms), dtype=np.int64), counts))
     return pa.table(
         {
-            "type": pa.array(types, type=pa.string()),
-            "band": pa.array(bands, type=pa.string()),
-            "norm": pa.array(norms, type=pa.string()),
-            "cnt": pa.array(cnts, type=pa.int64()),
+            "type": pc.take(batch.column("type"), idx),
+            "band": pa.array(
+                [k for ks in keys for k in ks], type=pa.string()
+            ),
+            "norm": pc.take(batch.column("norm"), idx),
+            "cnt": pc.take(batch.column("cnt"), idx),
         }
     )
 

@@ -75,12 +75,11 @@ DERIVED_SCHEMA = pa.schema(
 def derive_union_batch(batch: pa.Table) -> pa.Table:
     """Tagged sentences → ONE kind-tagged union table holding the tagged
     rows ("e"), the relation triples ("t") and the per-batch surface-count
-    combiner output ("s"). One python pass, one write; consumers read back
-    with parquet filter pushdown on ``kind``. Keeps phase 1 a single
-    execution per shard."""
-    from collections import Counter
-
-    from ..core.linking import normalize_surface
+    combiner output ("s"). Relations stay a per-sentence pass (pattern
+    matching over entity spans); surface counts are the vectorized Arrow
+    combiner (stages/link.py). One derivation, one write; consumers read
+    back with parquet filter pushdown on ``kind``."""
+    from ..stages.link import entity_surface_counts_batch
 
     n = batch.num_rows
     nul = {f.name: pa.nulls(n, f.type) for f in DERIVED_SCHEMA}
@@ -101,7 +100,6 @@ def derive_union_batch(batch: pa.Table) -> pa.Table:
     ).select([f.name for f in DERIVED_SCHEMA]).cast(DERIVED_SCHEMA)
 
     triple_rows = []
-    counter: Counter = Counter()
     for url, sent, ents in zip(
         batch.column("url").to_pylist(),
         batch.column("sent").to_pylist(),
@@ -111,16 +109,26 @@ def derive_union_batch(batch: pa.Table) -> pa.Table:
             continue
         for t in extract_relations(sent, ents, url=url):
             triple_rows.append({**t, "kind": "t"})
-        for e in ents:
-            counter[(e["entity"], normalize_surface(e["value"]))] += 1
-    surf_rows = [
-        {"kind": "s", "type": t, "norm": m, "cnt": c}
-        for (t, m), c in counter.items()
-    ]
     parts = [ent_tbl]
-    for rows in (triple_rows, surf_rows):
-        if rows:
-            parts.append(pa.Table.from_pylist(rows, schema=DERIVED_SCHEMA))
+    if triple_rows:
+        parts.append(pa.Table.from_pylist(triple_rows, schema=DERIVED_SCHEMA))
+    surf = entity_surface_counts_batch(batch)
+    m = surf.num_rows
+    if m:
+        nul_m = {f.name: pa.nulls(m, f.type) for f in DERIVED_SCHEMA}
+        parts.append(
+            pa.table(
+                {
+                    "kind": pa.array(["s"] * m, pa.string()),
+                    "type": surf.column("type"),
+                    "norm": surf.column("norm"),
+                    "cnt": surf.column("cnt"),
+                    **{k: nul_m[k] for k in
+                       ("url", "sent_idx", "base", "sent", "entities", "subj",
+                        "pred", "obj", "subj_type", "obj_type", "confidence")},
+                }
+            ).select([f.name for f in DERIVED_SCHEMA]).cast(DERIVED_SCHEMA)
+        )
     return pa.concat_tables(parts)
 
 

@@ -173,3 +173,23 @@ def test_phase1_reruns_on_inplace_input_rewrite(ray_session, tmp_path_factory):
 
     s3 = kg.run_phase1(files, out, files_per_shard=1)
     assert s3["shards_run"] == 1 and s3["shards_skipped"] == len(files) - 1
+
+
+def test_embedding_lsh_joined_equals_bucket(ray_session, monkeypatch):
+    """Above EMB_LSH_SHUFFLE_VECTORS_MAX_ROWS the LSH path shuffles only
+    (bk, vec_id) and verifies candidates via a vectors hash-join. Forced
+    here, it must emit exactly the in-bucket-verified pairs."""
+    from spacy_crfsuite_ray.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+
+    def pairs(forced):
+        if forced:
+            monkeypatch.setattr(dedup, "EMB_LSH_SHUFFLE_VECTORS_MAX_ROWS", 0)
+        df = dedup.embedding_dup_pairs_lsh(sf).to_pandas()
+        return set(zip(df["a"], df["b"]))
+
+    bucket = pairs(False)
+    joined = pairs(True)
+    assert bucket == joined
+    assert len(bucket) > 0

@@ -74,14 +74,59 @@ def test_minhash_pairs_symmetric_and_thresholded(ray_session):
 
 
 def test_simhash_pairs_valid(ray_session):
-    from spacy_crfsuite_ray.ops.dedup import simhash_dedup_pairs
+    from spacy_crfsuite_ray.ops.dedup import (
+        SIMHASH_MAX_HAMMING, simhash_dedup_pairs,
+    )
 
     df = _df(simhash_dedup_pairs(SF))
     if len(df):
         assert (df["a"] < df["b"]).all()
-        assert (df["hamming"] <= 10).all()
+        assert (df["hamming"] <= SIMHASH_MAX_HAMMING).all()
         # no duplicate pairs
         assert not df.duplicated(["a", "b"]).any()
+
+
+def test_simhash_batch_matches_scalar(ray_session):
+    """The whole-batch simhash kernel is a bit-exact twin of simhash64."""
+    import pyarrow.parquet as pq
+
+    from spacy_crfsuite_ray.functions.hashing import simhash64
+    from spacy_crfsuite_ray.ops.dedup import _simhash_batch
+
+    texts = pq.read_table(
+        f"{SF}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()[:200] + ["", "   "]
+    batch = _simhash_batch(texts)
+    for t, got in zip(texts, batch):
+        assert int(got) == simhash64(t.lower().split())
+
+
+@pytest.mark.parametrize("radius", [3, 6])
+def test_simhash_banding_recall_guaranteed(ray_session, radius):
+    """Pigeonhole banding (r+1 blocks) must surface EVERY pair within the
+    configured hamming radius — recall 1.0 vs exact all-pairs, at the
+    default radius and at a wider one (adaptive band count)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spacy_crfsuite_ray.ops import dedup
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=np.int64)
+    hs = dedup._simhash_batch(tbl.column("text").to_pylist())
+    x = hs[:, None] ^ hs[None, :]
+    ham = np.unpackbits(
+        x.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2
+    ).sum(axis=2)
+    ai, bi = np.nonzero(np.triu(ham <= radius, k=1))
+    exact = {
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i, j in zip(ai, bi)
+    }
+
+    df = _df(dedup.simhash_dedup_pairs(SF, max_hamming=radius))
+    got = set(zip(df["a"], df["b"]))
+    assert got == exact  # recall 1.0 by pigeonhole; precision exact verify
 
 
 def test_media_features_real_plumbing(ray_session, tmp_path):

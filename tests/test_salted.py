@@ -28,8 +28,10 @@ def test_salted_sum_matches_plain(ray_session):
 def test_domain_stats_query(ray_session):
     import __ray_entry__ as E
 
-    df = E.queries()["kg_domain_stats"]("/root/testdata/sf0.001").to_pandas()
+    df = E.queries()["kg_domain_stats"]("/root/testdata/sf0.001")
     assert (df["n_triples"] > 0).all()
+    # the in-band exact twin must agree with the salted result row for row
+    assert df["match"].all()
     assert df["domain"].str.startswith("site").all()
     # the fixture's hot domains (site0-2) hold a large share of triples
     hot = df[df["domain"].isin(["site0.example", "site1.example",
