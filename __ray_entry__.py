@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": dedup.simhash_docs,
         "simhash_dedup_pairs": dedup.simhash_dedup_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # --- similarity search
         "ann_topk": ann.ann_topk,
         "ann_lsh": ann.ann_lsh,
@@ -306,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": relational.revenue_by_region,
         "user_value_sliding_sum": relational.user_value_sliding_sum,
         "event_props_stats": relational.event_props_stats,
+        "purchase_attribution": relational.purchase_attribution,
     }
 
 
@@ -444,6 +446,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.40
         """,
+        # mirror of ops.dedup.ngram_jaccard_pairs: word 3-gram shingles with
+        # the short-text fallback of functions.hashing.word_shingles, df in
+        # [2, 10000] for the intersection, sizes over ALL unique shingles,
+        # floor(jac*1e6+0.5) int scaling (identical IEEE expression tree)
+        "ngram_jaccard_pairs": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       END AS shs
+                FROM w),
+            e AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            df_ok AS (SELECT sh FROM e GROUP BY sh
+                      HAVING count(*) BETWEEN 2 AND 10000),
+            co AS (
+                SELECT ea.doc_id AS a, eb.doc_id AS b,
+                       count(*) AS co
+                FROM e ea
+                JOIN df_ok USING (sh)
+                JOIN e eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+                GROUP BY ea.doc_id, eb.doc_id),
+            j AS (
+                SELECT a, b,
+                       CAST(co AS DOUBLE)
+                           / CAST(sa.sz + sb.sz - co AS DOUBLE) AS jac
+                FROM co
+                JOIN sz sa ON sa.doc_id = a
+                JOIN sz sb ON sb.doc_id = b)
+            SELECT a, b,
+                   CAST(floor(jac * 1000000.0 + 0.5) AS BIGINT) AS jac_c6
+            FROM j WHERE jac >= 0.5
+        """,
         "ann_topk": """
             WITH q AS (
                 SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
@@ -581,5 +624,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey
             ORDER BY revenue_c4 DESC, o_orderkey
             LIMIT 10
+        """,
+        # mirror of ops.relational.purchase_attribution (inner RANGE
+        # join): same half-open 30-minute window, same floor(value*1e4+0.5)
+        # scaling
+        "purchase_attribution": """
+            SELECT p.event_id AS purchase_id,
+                   CAST(count(*) AS BIGINT) AS n_touches,
+                   CAST(sum(CAST(floor(c.value * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS touch_value_c4
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 30 MINUTE
+             AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+              AND c.event_type IN ('click', 'view')
+            GROUP BY p.event_id
         """,
     }

@@ -32,6 +32,12 @@ def _sf_of_dir() -> float:
 
 
 def _consume(ds) -> int:
+    import pyarrow as pa
+
+    if isinstance(ds, pa.Table):
+        return ds.num_rows
+    if not hasattr(ds, "iter_batches"):  # pandas DataFrame
+        return len(ds)
     n = 0
     for b in ds.iter_batches(batch_format="pyarrow"):
         n += b.num_rows
@@ -114,7 +120,7 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "lineitem_agg", "segment_revenue", "top_parts", "events_daily",
             "priority_semijoin", "customers_no_orders", "shipping_priority",
             "event_asof_order", "revenue_by_region", "user_value_sliding_sum",
-            "event_props_stats",
+            "event_props_stats", "ngram_jaccard_pairs", "purchase_attribution",
         ]:
             t0 = time.time()
             _consume(qs[name](SF_DIR))

@@ -840,3 +840,205 @@ def _embedding_lsh_pairs_joined(
         )
 
     return _dedupe_pairs_ds(j.map_batches(verify, batch_format="pyarrow"))
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (inverted index — the SQL-oracled exact twin of
+# the minhash family; reference scope: spacy_crfsuite has no dedup at all,
+# this family is the LLM-corpus extension the brief requires)
+
+# Exploded (shingle, doc) rows under this many DOCUMENTS run the driver
+# inverted index (pyarrow group_by + numpy); above it the distributed
+# self-join path runs (identical output, equality-tested like every other
+# threshold-gated twin in this module).
+NGRAM_JACCARD_DRIVER_MAX_DOCS = 200_000
+# Stop-shingle cap: shingles appearing in MORE than this many docs are
+# excluded from the intersection count (co becomes a lower bound, so the op
+# drops pairs whose similarity rides only on corpus-stopword shingles).
+# Set-size denominators always count ALL unique shingles per doc. The SQL
+# oracle applies the identical cap, so parity holds at any setting.
+NGRAM_JACCARD_MAX_DF = 10_000
+
+
+def _ngram_explode(k: int):
+    """docs → one row per (sh, doc_id, sz): the doc's UNIQUE word-k-gram
+    shingles (strings — they ARE the group key the SQL oracle must agree
+    on; the minhash path is the hashed-key production variant) plus the
+    per-doc unique-shingle count."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        shs: List[str] = []
+        ids: List[int] = []
+        szs: List[int] = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            s = set(word_shingles(text, k))
+            shs.extend(s)
+            ids.extend([doc_id] * len(s))
+            szs.extend([len(s)] * len(s))
+        return pa.table(
+            {
+                "sh": pa.array(shs, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "sz": pa.array(szs, pa.int64()),
+            }
+        )
+
+    return explode
+
+
+def _jac_c6_table(a, b, co, sz_a, sz_b, threshold: float) -> pa.Table:
+    """(a, b, jac_c6) rows for pairs with Jaccard ≥ threshold. Both engines
+    compute co / (sz_a + sz_b - co) as IEEE doubles from identical int64s,
+    so the floor(x*1e6 + 0.5) scaling matches the oracle bit for bit."""
+    jac = co.astype(np.float64) / (sz_a + sz_b - co).astype(np.float64)
+    keep = jac >= threshold
+    return pa.table(
+        {
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "jac_c6": pa.array(
+                np.floor(jac[keep] * 1_000_000.0 + 0.5).astype(np.int64)
+            ),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    k: int = 3,
+    max_df: int = NGRAM_JACCARD_MAX_DF,
+) -> pa.Table:
+    """EXACT word-k-gram Jaccard near-dup pairs via a distributed inverted
+    index: explode unique shingles per doc, drop df-1 shingles (they cannot
+    co-occur) and stop-shingles (df > max_df), self-join on the shingle to
+    count intersections, then Jaccard from the carried set sizes — no
+    all-pairs pass ever runs; per-shingle work is bounded by max_df².
+
+    This is the oracle-checkable exact twin of ``minhash_dedup_pairs``
+    (which approximates candidate generation but verifies with the same
+    hashed-Jaccard); a user tunes cost with max_df instead of bands."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ex = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _ngram_explode(k), batch_format="pyarrow"
+    )
+    if n_docs > NGRAM_JACCARD_DRIVER_MAX_DOCS:
+        return _ngram_jaccard_joined(ex, threshold, max_df, n_docs)
+
+    tbl = pa.concat_tables(
+        list(ex.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    if tbl.num_rows == 0:
+        return _jac_c6_table(*(np.array([], dtype=np.int64),) * 5, threshold)
+    import pyarrow.compute as pc
+
+    sh_arr = tbl.column("sh")
+    if isinstance(sh_arr, pa.ChunkedArray):
+        sh_arr = (sh_arr.chunk(0) if sh_arr.num_chunks == 1
+                  else pa.concat_arrays(sh_arr.chunks))
+    enc = pc.dictionary_encode(sh_arr)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    ids = np.asarray(tbl.column("doc_id"), dtype=np.int64)
+    szs = np.asarray(tbl.column("sz"), dtype=np.int64)
+    df = np.bincount(codes)
+    ok = (df[codes] >= 2) & (df[codes] <= max_df)
+    codes, ids, szs = codes[ok], ids[ok], szs[ok]
+    order = np.argsort(codes, kind="stable")
+    codes, ids, szs = codes[order], ids[order], szs[order]
+    bounds = np.concatenate(
+        [[0], np.nonzero(np.diff(codes))[0] + 1, [len(codes)]]
+    )
+    co: dict = {}
+    sz_of: dict = {}
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        g_ids, g_szs = ids[s:e], szs[s:e]
+        o = np.argsort(g_ids)
+        g_ids, g_szs = g_ids[o], g_szs[o]
+        sz_of.update(zip(g_ids.tolist(), g_szs.tolist()))
+        ai, bi = np.triu_indices(len(g_ids), k=1)
+        for x, y in zip(g_ids[ai].tolist(), g_ids[bi].tolist()):
+            co[(x, y)] = co.get((x, y), 0) + 1
+    if not co:
+        return _jac_c6_table(*(np.array([], dtype=np.int64),) * 5, threshold)
+    pairs = np.array(list(co.keys()), dtype=np.int64)
+    return _jac_c6_table(
+        pairs[:, 0], pairs[:, 1],
+        np.array(list(co.values()), dtype=np.int64),
+        np.array([sz_of[x] for x in pairs[:, 0].tolist()], dtype=np.int64),
+        np.array([sz_of[x] for x in pairs[:, 1].tolist()], dtype=np.int64),
+        threshold,
+    )
+
+
+def _ngram_jaccard_joined(ex, threshold: float, max_df: int, n_docs: int):
+    """At-scale path: df filter as a semi-join against the in-range shingle
+    set, intersection counts as a self-join on the shingle + vectorized
+    (a, b) groupby-aggregate, sizes carried in the exploded rows (no second
+    join). Byte-identical to the driver path by test."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max
+
+    from ..functions.cluster import join_partitions
+
+    ex = ex.materialize()
+    parts = join_partitions(rows=n_docs * 32)
+
+    def df_filter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b.column("count()"), 2),
+            pc.less_equal(b.column("count()"), max_df),
+        )
+        return b.filter(keep).select(["sh"])
+
+    df_ok = ex.groupby("sh").count().map_batches(
+        df_filter, batch_format="pyarrow"
+    )
+    ex_ok = ex.join(df_ok, join_type="inner", num_partitions=parts,
+                    on=("sh",)).materialize()
+    j = ex_ok.join(ex_ok, join_type="inner", num_partitions=parts,
+                   on=("sh",), left_suffix="_a", right_suffix="_b")
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("doc_id_a"), dtype=np.int64)
+        b = np.asarray(batch.column("doc_id_b"), dtype=np.int64)
+        keep = a < b
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "sz_a": pa.array(
+                    np.asarray(batch.column("sz_a"), dtype=np.int64)[keep]
+                ),
+                "sz_b": pa.array(
+                    np.asarray(batch.column("sz_b"), dtype=np.int64)[keep]
+                ),
+            }
+        )
+
+    agg = (
+        j.map_batches(ordered, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(), Max("sz_a"), Max("sz_b"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _jac_c6_table(
+                *(np.array([], dtype=np.int64),) * 5, threshold
+            )
+        return _jac_c6_table(
+            np.asarray(batch.column("a"), dtype=np.int64),
+            np.asarray(batch.column("b"), dtype=np.int64),
+            np.asarray(batch.column("count()"), dtype=np.int64),
+            np.asarray(batch.column("max(sz_a)"), dtype=np.int64),
+            np.asarray(batch.column("max(sz_b)"), dtype=np.int64),
+            threshold,
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    )

@@ -648,3 +648,74 @@ def event_props_stats(sf_dir: str) -> "rd.Dataset":
                       [pa.string(), pa.int64(), pa.int64()]),
         batch_format="pyarrow",
     )
+
+def purchase_attribution(sf_dir: str, window_minutes: int = 30) -> "rd.Dataset":
+    """Distributed RANGE join (custom operator — Ray Data has no interval
+    join): for each *purchase* event, count + sum(value) of the same user's
+    click/view touches in the half-open attribution window
+    ``[purchase_ts - window_minutes, purchase_ts)`` (purchases with no
+    in-window touches drop out — inner range join).
+
+    Shape (same as the as-of join): both sides column-pruned, tagged,
+    UNIONed, hash-partitioned by the user key in ONE shuffle, matched
+    inside the group with sort + two vectorized searchsorteds + a
+    cumsum-difference for the windowed sum. Partitioning assumption: one
+    user's rows fit in a worker; salt the key for pathological users."""
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def rows(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        is_p = pc.equal(et, "purchase")
+        is_t = pc.is_in(et, value_set=pa.array(["click", "view"]))
+        keep = pc.or_(is_p, is_t)
+        b = batch.filter(keep)
+        side = pc.cast(
+            pc.equal(b.column("event_type"), "purchase"), pa.int8()
+        )
+        return pa.table(
+            {
+                "k": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.timestamp("us")),
+                "side": side,
+                "value_c4": _to_scaled_int(b.column("value"), 10000),
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value", "event_id"],
+    ).map_batches(rows, batch_format="pyarrow")
+
+    empty = pd.DataFrame(
+        {"purchase_id": [], "n_touches": [], "touch_value_c4": []}
+    ).astype({"purchase_id": "int64", "n_touches": "int64",
+              "touch_value_c4": "int64"})
+
+    def ranged(group: pd.DataFrame) -> pd.DataFrame:
+        touches = group[group["side"] == 0].sort_values("ts")
+        buys = group[group["side"] == 1]
+        if touches.empty or buys.empty:
+            return empty
+        t_ts = touches["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        b_ts = buys["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        csum = np.concatenate(
+            [[0], np.cumsum(touches["value_c4"].to_numpy().astype(np.int64))]
+        )
+        lo = np.searchsorted(t_ts, b_ts - win_us, side="left")
+        hi = np.searchsorted(t_ts, b_ts, side="left")
+        n = hi - lo
+        keep = n > 0
+        return pd.DataFrame(
+            {
+                "purchase_id": buys["event_id"].to_numpy()[keep]
+                .astype(np.int64),
+                "n_touches": n[keep].astype(np.int64),
+                "touch_value_c4": (csum[hi] - csum[lo])[keep]
+                .astype(np.int64),
+            }
+        )
+
+    return events.groupby("k").map_groups(ranged, batch_format="pandas")

@@ -45,12 +45,30 @@ def _assert_matches_oracle(ray_result, sql, con):
     "user_sessions", "top_orders_per_segment",
     "priority_semijoin", "customers_no_orders", "shipping_priority",
     "event_asof_order", "doc_sample", "ngram_top", "revenue_by_region",
-    "user_value_sliding_sum", "event_props_stats",
+    "user_value_sliding_sum", "event_props_stats", "ngram_jaccard_pairs",
+    "purchase_attribution",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
 
     _assert_matches_oracle(E.queries()[name](SF), E.oracle_sql()[name], con)
+
+
+def test_ngram_jaccard_joined_equals_driver(ray_session, monkeypatch):
+    """Above NGRAM_JACCARD_DRIVER_MAX_DOCS the inverted index runs as a
+    shingle self-join + (a, b) groupby-aggregate. Forced here, it must emit
+    exactly the driver path's pairs and jac_c6 values."""
+    from spacy_crfsuite_ray.ops import dedup
+
+    driver = _df(dedup.ngram_jaccard_pairs(SF))
+    monkeypatch.setattr(dedup, "NGRAM_JACCARD_DRIVER_MAX_DOCS", 0)
+    joined = _df(dedup.ngram_jaccard_pairs(SF))
+    key = ["a", "b", "jac_c6"]
+    assert len(driver) > 0
+    assert (
+        set(map(tuple, driver[key].itertuples(index=False)))
+        == set(map(tuple, joined[key].itertuples(index=False)))
+    )
 
 
 def test_ann_lsh_recall_vs_bruteforce(ray_session):
