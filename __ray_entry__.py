@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,
         "doc_sample": text.doc_sample,
         "ngram_top": text.ngram_top,
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "lang_source_rollup": text.lang_source_rollup,
         # --- dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
@@ -284,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,
         "ann_lsh": ann.ann_lsh,
         "ann_ivf": ann.ann_ivf,
+        "embedding_centroids": ann.embedding_centroids,
         # --- mergeable sketches (approximate by design → rows-only)
         "distinct_hll": sketch.distinct_hll,
         "quantile_sketch": sketch.quantile_sketch,
@@ -308,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_sliding_sum": relational.user_value_sliding_sum,
         "event_props_stats": relational.event_props_stats,
         "purchase_attribution": relational.purchase_attribution,
+        "urgent_revenue_bloom": relational.urgent_revenue_bloom,
     }
 
 
@@ -408,6 +412,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_tokens
             FROM documents GROUP BY source
         """,
+        # mirror of ops.text.lang_source_rollup (grouping-sets rollup derived
+        # from the (lang, source) sufficient statistic engine-side)
+        "lang_source_rollup": f"""
+            SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END
+                       AS lang,
+                   CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
+                       AS source,
+                   CAST(sum(len(regexp_extract_all(text, {TOKEN_SQL})))
+                        AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        """,
         "quality_filter": f"""
             SELECT doc_id, n_chars, n_tokens FROM (
                 SELECT doc_id,
@@ -435,6 +452,47 @@ def oracle_sql() -> dict[str, str]:
                           x -> x <> '') AS w
                       FROM documents))
             GROUP BY ng ORDER BY n DESC, ng LIMIT 20
+        """,
+        # mirror of ops.text.tfidf_top_terms: ASCII-letter tokens lowercased
+        # per token, log-free idf (N+1)/(df+1) — cast/divide/multiply are
+        # exact IEEE so floor(score*1e6+0.5) hashes identically; ties by term
+        "tfidf_top_terms": """
+            WITH raw AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[A-Za-z]+')) AS t
+                FROM documents),
+            toks AS (SELECT doc_id, lower(t) AS term FROM raw),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         CAST(tf.tf AS DOUBLE) *
+                         (CAST(n.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE))
+                             AS score
+                  FROM tf JOIN df USING (term) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+                  FROM s)
+            SELECT doc_id, term, tf, df,
+                   CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_c6
+            FROM r WHERE rn <= 3
+        """,
+        # mirror of ops.ann.embedding_centroids: elements integer-scaled
+        # BEFORE summing so the aggregate is exact and order-independent
+        "embedding_centroids": """
+            WITH e AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                           AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings)
+            SELECT label, dim,
+                   CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_c6,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM e GROUP BY label, dim
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
@@ -624,6 +682,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey
             ORDER BY revenue_c4 DESC, o_orderkey
             LIMIT 10
+        """,
+        # mirror of ops.relational.urgent_revenue_bloom: the bloom prefilter
+        # is lossless (no false negatives; semi-join removes false
+        # positives), so the oracle is the plain IN-subquery semi-join
+        "urgent_revenue_bloom": """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_c4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
         """,
         # mirror of ops.relational.purchase_attribution (inner RANGE
         # join): same half-open 30-minute window, same floor(value*1e4+0.5)

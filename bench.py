@@ -39,7 +39,7 @@ def _consume(ds) -> int:
     if not hasattr(ds, "iter_batches"):  # pandas DataFrame
         return len(ds)
     n = 0
-    for b in ds.iter_batches(batch_format="pyarrow"):
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
         n += b.num_rows
     return n
 
@@ -121,6 +121,8 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "priority_semijoin", "customers_no_orders", "shipping_priority",
             "event_asof_order", "revenue_by_region", "user_value_sliding_sum",
             "event_props_stats", "ngram_jaccard_pairs", "purchase_attribution",
+            "tfidf_top_terms", "embedding_centroids",
+            "lang_source_rollup", "urgent_revenue_bloom",
         ]:
             t0 = time.time()
             _consume(qs[name](SF_DIR))

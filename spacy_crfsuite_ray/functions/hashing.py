@@ -146,3 +146,54 @@ def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> List[
 
 def hash_u32(text: str) -> int:
     return struct.unpack("<I", hashlib.sha1(text.encode("utf-8")).digest()[:4])[0]
+
+
+# ------------------------------------------------------------------- bloom
+
+_SPLITMIX_GAMMA = 0x9E3779B97F4A7C15
+BLOOM_BITS_PER_KEY = 16
+BLOOM_K = 4
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants) — uint64
+    wraparound arithmetic, one avalanche per call."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def bloom_build(keys: np.ndarray) -> tuple[np.ndarray, int]:
+    """Packed-uint64 Bloom filter over int keys: BLOOM_BITS_PER_KEY bits per
+    key rounded up to a power of two, BLOOM_K independent splitmix probes.
+    ~2 bytes/key — 25-50x smaller than broadcasting a hash set of the keys,
+    which is the whole point: the small side of a 100TB semi-join ships as
+    megabytes, and only bloom SURVIVORS enter the exact shuffle join."""
+    m = 1 << max(10, int(np.ceil(np.log2(max(1, len(keys))
+                                         * BLOOM_BITS_PER_KEY))))
+    bits = np.zeros(m >> 6, dtype=np.uint64)
+    k64 = keys.astype(np.uint64)
+    for i in range(BLOOM_K):
+        h = splitmix64(k64 + np.uint64((_SPLITMIX_GAMMA * (i + 1))
+                                       & 0xFFFFFFFFFFFFFFFF))
+        idx = h & np.uint64(m - 1)
+        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return bits, m
+
+
+def bloom_contains(bits: np.ndarray, m: int, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: no false negatives by construction."""
+    ok = np.ones(len(keys), dtype=bool)
+    k64 = keys.astype(np.uint64)
+    for i in range(BLOOM_K):
+        h = splitmix64(k64 + np.uint64((_SPLITMIX_GAMMA * (i + 1))
+                                       & 0xFFFFFFFFFFFFFFFF))
+        idx = h & np.uint64(m - 1)
+        ok &= (bits[(idx >> np.uint64(6)).astype(np.int64)]
+               & (np.uint64(1) << (idx & np.uint64(63)))) != 0
+    return ok

@@ -347,3 +347,58 @@ def ann_ivf(
         .groupby("query_id")
         .map_groups(_final_topk(k), batch_format="pandas")
     )
+
+
+# ----------------------------------------------------------- vector aggregate
+
+def embedding_centroids(sf_dir: str) -> "rd.Dataset":
+    """Per-label centroid accumulators over the embedding column — the
+    vector-aggregate primitive behind k-means / class-prototype stages.
+
+    Elements are integer-scaled FIRST (floor(f64(x)*1e6 + 0.5) as int64,
+    float32→float64 being exact) so the per-(label, dim) sums are exact
+    integers: order-independent across blocks, overflow-free (1e6-scaled
+    unit floats × petascale row counts stay far under 2^63), and hashable
+    against the SQL oracle bit for bit — a float centroid mean would be
+    non-associative under Ray's block order. Combiner: one (label, dim)
+    partial sum row per batch crosses the shuffle, never a vector row;
+    callers divide sum_c6 / n_vecs for the actual centroid."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch.column("embedding").to_pylist(),
+                         dtype=np.float64)
+        scaled = np.floor(mat * 1_000_000.0 + 0.5).astype(np.int64)
+        dim = scaled.shape[1] if scaled.ndim == 2 else 0
+        uniq = np.unique(labels)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in uniq:
+            sel = labels == lab
+            sums = scaled[sel].sum(axis=0)
+            n = int(sel.sum())
+            out_l.extend([int(lab)] * dim)
+            out_d.extend(range(dim))
+            out_s.extend(int(v) for v in sums)
+            out_n.extend([n] * dim)
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "dim": pa.array(out_d, pa.int64()),
+                "s": pa.array(out_s, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    ds = (
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s"), Sum("n"))
+    )
+    return ds.map_batches(
+        lambda b: b.rename_columns(["label", "dim", "sum_c6", "n_vecs"]),
+        batch_format="pyarrow",
+    )

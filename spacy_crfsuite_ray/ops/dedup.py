@@ -211,7 +211,7 @@ _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 def _collect_table(ds) -> pa.Table:
     return pa.concat_tables(
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in ds.iter_batches(batch_format="pyarrow")
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -388,7 +388,7 @@ def minhash_dedup_pairs(
     n_docs = sh_ds.count()
     if n_docs <= VERIFY_BROADCAST_MAX_DOCS:
         sh_map: dict = {}
-        for b in sh_ds.iter_batches(batch_format="pyarrow"):
+        for b in sh_ds.iter_batches(batch_format="pyarrow", batch_size=None):
             sh_map.update(
                 zip(b.column("doc_id").to_pylist(), b.column("sh").to_pylist())
             )

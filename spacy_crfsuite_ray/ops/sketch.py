@@ -81,7 +81,7 @@ def distinct_hll(sf_dir: str, table: str = "lineitem",
     src = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
     ds = src.map_batches(partial, batch_format="pyarrow")
     merged = np.zeros(1 << HLL_P, dtype=np.uint8)
-    for b in ds.iter_batches(batch_format="pyarrow"):
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
         for blob in b.column("regs").to_pylist():
             merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
     approx = int(round(hll_estimate(merged)))

@@ -7,6 +7,7 @@ pyarrow.compute vectorized kernels — no Python loop in the hot path).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -264,6 +265,154 @@ def doc_sample(sf_dir: str, hex_threshold: str = "1999") -> "rd.Dataset":
     )
 
 
+# ------------------------------------------------------------------- TF-IDF
+
+# Vocabulary (unique-term) count under which the term→df map is broadcast
+# (ray.put once, read per worker) and per-doc top-k is computed batch-locally
+# with ZERO document shuffle. Above it, term rows hash-join the df table and
+# a doc_id groupby ranks — identical output, equality-tested.
+TFIDF_BROADCAST_MAX_TERMS = 2_000_000
+# ASCII-letter runs, lowercased PER TOKEN (never whole-text lower(): Unicode
+# case folding can differ between engines; ASCII-only lowering cannot).
+_TFIDF_TOKEN = "[A-Za-z]+"
+
+
+def _tfidf_score(tf, df, n_docs: int):
+    """score = tf * ((N+1)/(df+1)) — the log-free idf variant, chosen so the
+    oracle hashes bit-identically: cast/divide/multiply are exact IEEE ops on
+    both engines, whereas ln() is the one transcendental that may differ in
+    the last ulp across libms. Monotone in the same direction as classic
+    tf-idf for fixed tf."""
+    return np.asarray(tf, dtype=np.float64) * (
+        np.float64(n_docs + 1) / (np.asarray(df, dtype=np.float64) + 1.0)
+    )
+
+
+def _term_rows_batch(batch: pa.Table) -> pa.Table:
+    """docs → one row per (doc_id, term, tf): per-doc term counts of
+    ASCII-letter tokens. The per-doc Counter is the combiner — the shuffle
+    (or broadcast build) only ever sees unique terms per doc, never tokens."""
+    import re
+    from collections import Counter
+
+    pat = re.compile(_TFIDF_TOKEN)
+    ids, terms, tfs = [], [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        c = Counter(t.lower() for t in pat.findall(text))
+        ids.extend([doc_id] * len(c))
+        terms.extend(c.keys())
+        tfs.extend(c.values())
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        }
+    )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Per-document top-k terms by tf-idf: df via a unique-terms-per-doc
+    combiner + one tiny (term) groupby, then either a broadcast df lookup
+    with batch-local ranking (vocab ≤ TFIDF_BROADCAST_MAX_TERMS — no doc
+    shuffle at all) or a term hash-join + doc_id groupby rank above it.
+    Ties broken by term text; score emitted integer-scaled (c6)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    df_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_term_rows_batch, batch_format="pyarrow")
+        .groupby("term")
+        .count()
+        .map_batches(lambda b: b.rename_columns(["term", "df"]),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    if df_ds.count() > TFIDF_BROADCAST_MAX_TERMS:
+        return _tfidf_joined(sf_dir, df_ds, n_docs, k)
+
+    import ray
+
+    df_of: dict = {}
+    for b in df_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        df_of.update(zip(b.column("term").to_pylist(),
+                         b.column("df").to_pylist()))
+    df_ref = ray.put(df_of)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        dfs = get_broadcast(df_ref)
+        rows = _term_rows_batch(batch)
+        ids = np.asarray(rows.column("doc_id"), dtype=np.int64)
+        tfs = np.asarray(rows.column("tf"), dtype=np.int64)
+        terms = rows.column("term").to_pylist()
+        df_arr = np.fromiter((dfs[t] for t in terms), dtype=np.int64,
+                             count=len(terms))
+        score = _tfidf_score(tfs, df_arr, n_docs)
+        out = {"doc_id": [], "term": [], "tf": [], "df": [], "score_c6": []}
+        # rows are doc-contiguous (built that way); rank inside each doc
+        bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(ids))[0] + 1, [len(ids)]]
+        ) if len(ids) else np.array([0])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            order = sorted(range(s, e), key=lambda i: (-score[i], terms[i]))
+            for i in order[:k]:
+                out["doc_id"].append(int(ids[i]))
+                out["term"].append(terms[i])
+                out["tf"].append(int(tfs[i]))
+                out["df"].append(int(df_arr[i]))
+                out["score_c6"].append(
+                    int(np.floor(score[i] * 1_000_000.0 + 0.5))
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "term": pa.array(out["term"], pa.string()),
+                "tf": pa.array(out["tf"], pa.int64()),
+                "df": pa.array(out["df"], pa.int64()),
+                "score_c6": pa.array(out["score_c6"], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+
+
+def _tfidf_joined(sf_dir: str, df_ds, n_docs: int, k: int) -> "rd.Dataset":
+    """At-scale path: term rows ⋈ df table on the term, then a doc_id
+    groupby ranks inside the group. Byte-identical to the broadcast path."""
+    import pandas as pd
+
+    from ..functions.cluster import join_partitions
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _term_rows_batch, batch_format="pyarrow"
+    )
+    j = rows.join(
+        df_ds,
+        join_type="inner",
+        num_partitions=join_partitions(rows=n_docs),
+        on=("term",),
+    )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        score = _tfidf_score(group["tf"].to_numpy(),
+                             group["df"].to_numpy(), n_docs)
+        g = group.assign(
+            score_c6=np.floor(score * 1_000_000.0 + 0.5).astype(np.int64),
+            _s=score,
+        )
+        g = g.sort_values(["_s", "term"], ascending=[False, True]).head(k)
+        return g[["doc_id", "term", "tf", "df", "score_c6"]]
+
+    return j.groupby("doc_id").map_groups(topk, batch_format="pandas")
+
+
 def ngram_top(sf_dir: str, k: int = 20) -> "rd.Dataset":
     """Corpus-wide top-k word bigrams: per-batch Counter combiner (the
     shuffle moves unique bigrams per batch, never per-token rows), tiny
@@ -292,4 +441,68 @@ def ngram_top(sf_dir: str, k: int = 20) -> "rd.Dataset":
                      batch_format="pyarrow")
         .sort(["n", "ng"], descending=[True, False])
         .limit(k)
+    )
+
+
+def lang_source_rollup(sf_dir: str) -> pa.Table:
+    """GROUPING-SETS rollup ((lang, source) → (lang) → ()) computed from ONE
+    distributed pass: the (lang, source) base aggregate is the sufficient
+    statistic, so the coarser levels are derived from it driver-side — the
+    base is |langs|x|sources| rows by construction, never corpus-sized, and
+    the corpus is read exactly once. 'ALL' marks the rolled-up level."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(
+            pc.count_substring_regex(batch.column("text"), TOKEN_PATTERN),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "source": batch.column("source"),
+                "toks": toks,
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["lang", "source"])
+            .aggregate([("toks", "sum"), ("one", "sum")])
+            .rename_columns(["lang", "source", "toks", "one"])
+        )
+
+    base_ds = (
+        _docs(sf_dir, ["lang", "source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .sum(["toks", "one"])
+    )
+    base = pa.concat_tables(
+        list(base_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    ).rename_columns(["lang", "source", "total_tokens", "n_docs"])
+
+    by_lang = (
+        base.group_by("lang")
+        .aggregate([("total_tokens", "sum"), ("n_docs", "sum")])
+        .rename_columns(["lang", "total_tokens", "n_docs"])
+    )
+    all_src = pa.array(["ALL"] * by_lang.num_rows, pa.string())
+    grand = pa.table(
+        {
+            "lang": pa.array(["ALL"], pa.string()),
+            "source": pa.array(["ALL"], pa.string()),
+            "total_tokens": pa.array(
+                [pc.sum(base.column("total_tokens")).as_py() or 0], pa.int64()
+            ),
+            "n_docs": pa.array(
+                [pc.sum(base.column("n_docs")).as_py() or 0], pa.int64()
+            ),
+        }
+    )
+    cols = ["lang", "source", "total_tokens", "n_docs"]
+    return pa.concat_tables(
+        [
+            base.select(cols),
+            by_lang.append_column("source", all_src).select(cols),
+            grand.select(cols),
+        ]
     )

@@ -97,7 +97,7 @@ def _keep_min_pairs(ds, key_col: str, n_rows: int):
         from ..functions.broadcast import get_broadcast
 
         keep: set = set()
-        for b in winners.iter_batches(batch_format="pyarrow"):
+        for b in winners.iter_batches(batch_format="pyarrow", batch_size=None):
             keep.update(zip(b.column("h").to_pylist(),
                             b.column(f"min({key_col})").to_pylist()))
         keep_ref = ray.put(keep)

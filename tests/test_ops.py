@@ -46,12 +46,30 @@ def _assert_matches_oracle(ray_result, sql, con):
     "priority_semijoin", "customers_no_orders", "shipping_priority",
     "event_asof_order", "doc_sample", "ngram_top", "revenue_by_region",
     "user_value_sliding_sum", "event_props_stats", "ngram_jaccard_pairs",
-    "purchase_attribution",
+    "purchase_attribution", "tfidf_top_terms", "embedding_centroids",
+    "lang_source_rollup", "urgent_revenue_bloom",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
 
     _assert_matches_oracle(E.queries()[name](SF), E.oracle_sql()[name], con)
+
+
+def test_tfidf_joined_equals_broadcast(ray_session, monkeypatch):
+    """Above TFIDF_BROADCAST_MAX_TERMS the df lookup becomes a term
+    hash-join + doc_id groupby rank. Forced here, it must emit exactly the
+    broadcast path's rows."""
+    from spacy_crfsuite_ray.ops import text
+
+    broadcast = _df(text.tfidf_top_terms(SF))
+    monkeypatch.setattr(text, "TFIDF_BROADCAST_MAX_TERMS", 0)
+    joined = _df(text.tfidf_top_terms(SF))
+    key = ["doc_id", "term", "tf", "df", "score_c6"]
+    assert len(broadcast) > 0
+    assert (
+        set(map(tuple, broadcast[key].itertuples(index=False)))
+        == set(map(tuple, joined[key].itertuples(index=False)))
+    )
 
 
 def test_ngram_jaccard_joined_equals_driver(ray_session, monkeypatch):
@@ -256,3 +274,20 @@ def test_sketches_batch_invariant(ray_session):
     big = np.arange(150_000, dtype=np.int64) * 7919 + 13
     est = hll_estimate(hll_registers(big))
     assert abs(est - 150_000) / 150_000 < 0.05
+
+
+def test_bloom_filter_exact_and_selective():
+    """No false negatives ever (correctness of the prefilter); false-positive
+    rate near the theoretical ~(1 - e^(-kn/m))^k for the sized filter
+    (selectivity — the reason the pattern wins at scale)."""
+    import numpy as np
+
+    from spacy_crfsuite_ray.functions.hashing import bloom_build, bloom_contains
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(10_000_000, size=20_000, replace=False).astype(np.int64)
+    member, probe = keys[:10_000], keys[10_000:]
+    bits, m = bloom_build(member)
+    assert bloom_contains(bits, m, member).all()
+    fp = bloom_contains(bits, m, probe).mean()
+    assert fp < 0.01, fp
