@@ -277,15 +277,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_rollup": text.lang_source_rollup,
         # --- dedup family
         "exact_dedup": dedup.exact_dedup,
-        "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "minhash_dedup_pairs": dedup.minhash_dedup_pairs_checked,
         "simhash_docs": dedup.simhash_docs,
         "simhash_dedup_pairs": dedup.simhash_dedup_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # --- similarity search
         "ann_topk": ann.ann_topk,
-        "ann_lsh": ann.ann_lsh,
-        "ann_ivf": ann.ann_ivf,
+        "ann_lsh": ann.ann_lsh_checked,
+        "ann_ivf": ann.ann_ivf_checked,
         "embedding_centroids": ann.embedding_centroids,
         # --- mergeable sketches (approximate by design → rows-only)
         "distinct_hll": sketch.distinct_hll,

@@ -402,3 +402,58 @@ def embedding_centroids(sf_dir: str) -> "rd.Dataset":
         lambda b: b.rename_columns(["label", "dim", "sum_c6", "n_vecs"]),
         batch_format="pyarrow",
     )
+
+
+# -------------------------------------------------- in-band recall reporting
+
+# Corpus row count up to which the approximate queries compute their exact
+# brute-force twin in-band and stamp the measured recall into the result
+# (floor(recall*1e6+0.5) as recall_c6) — the driver's correctness record
+# then shows HOW approximate the answer was, not just that it ran. Above
+# the threshold the column is -1 and recall evidence comes from the
+# sampled repo tests. 1000 keeps the sf0.01 correctness run (500 vecs)
+# exact while the sf0.1 bench corpus (2000 vecs) measures the approximate
+# path's own cost, twin-free.
+RECALL_REPORT_MAX_ROWS = 1_000
+
+
+def _table_of(ds) -> pa.Table:
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+
+
+def _with_exact_recall(approx_ds, sf_dir: str, k: int,
+                       n_queries: int) -> pa.Table:
+    """Append an in-band exact-recall column to a (tiny, top-k) approximate
+    ANN result. The exact twin runs the distributed brute-force scan — cost
+    is one extra corpus pass, which is why it is threshold-gated."""
+    tbl = _table_of(approx_ds)
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n_rows <= RECALL_REPORT_MAX_ROWS:
+        ex = _table_of(ann_topk(sf_dir, k=k, n_queries=n_queries))
+        exact_pairs = set(zip(ex.column("query_id").to_pylist(),
+                              ex.column("neighbor_id").to_pylist()))
+        got = set(zip(tbl.column("query_id").to_pylist(),
+                      tbl.column("neighbor_id").to_pylist()))
+        recall = len(exact_pairs & got) / max(1, len(exact_pairs))
+        c6 = int(np.floor(recall * 1_000_000.0 + 0.5))
+    else:
+        c6 = -1
+    return tbl.append_column(
+        "recall_c6", pa.array([c6] * tbl.num_rows, pa.int64())
+    )
+
+
+def ann_lsh_checked(sf_dir: str) -> pa.Table:
+    """ann_lsh + in-band exact recall (the driver-facing query entry)."""
+    return _with_exact_recall(
+        ann_lsh(sf_dir), sf_dir, DEFAULT_K, DEFAULT_N_QUERIES
+    )
+
+
+def ann_ivf_checked(sf_dir: str) -> pa.Table:
+    """ann_ivf + in-band exact recall (the driver-facing query entry)."""
+    return _with_exact_recall(
+        ann_ivf(sf_dir), sf_dir, DEFAULT_K, DEFAULT_N_QUERIES
+    )

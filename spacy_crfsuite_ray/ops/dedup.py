@@ -1042,3 +1042,83 @@ def _ngram_jaccard_joined(ex, threshold: float, max_df: int, n_docs: int):
     return pa.concat_tables(
         list(out.iter_batches(batch_format="pyarrow", batch_size=None))
     )
+
+
+# -------------------------------------------------- in-band recall reporting
+
+# Doc count up to which minhash_dedup_pairs_checked computes its exact
+# hashed-Jaccard twin in-band (inverted index over the same sha1-64 shingle
+# hashes — identical semantics to the verify step) and stamps the measured
+# banding recall into every result row. 2000 keeps the sf0.01 driver check
+# exact while the sf0.1 bench corpus (5000 docs) skips the twin (-1).
+MINHASH_RECALL_MAX_DOCS = 2_000
+
+
+def _exact_hashed_jaccard_pairs(sf_dir: str, threshold: float) -> set:
+    """ALL pairs with hashed-Jaccard >= threshold, via a driver inverted
+    index over the shingle hashes (df>=2 co-occurrence counts + carried set
+    sizes — no quadratic doc loop)."""
+    sh_tbl = pa.concat_tables(
+        list(
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(_shingle_hash_rows, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    ids = np.asarray(sh_tbl.column("doc_id"), dtype=np.int64)
+    blobs = sh_tbl.column("sh").to_pylist()
+    sizes = {int(i): len(b) >> 3 for i, b in zip(ids, blobs)}
+    all_h = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+    owner = np.repeat(ids, [len(b) >> 3 for b in blobs])
+    _, inv, cnt = np.unique(all_h, return_inverse=True, return_counts=True)
+    keep = cnt[inv] >= 2
+    inv, owner = inv[keep], owner[keep]
+    order = np.argsort(inv, kind="stable")
+    inv, owner = inv[order], owner[order]
+    bounds = np.concatenate(
+        [[0], np.nonzero(np.diff(inv))[0] + 1, [len(inv)]]
+    ) if len(inv) else np.array([0])
+    co: dict = {}
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        g = np.sort(owner[s:e])
+        ai, bi = np.triu_indices(len(g), k=1)
+        for x, y in zip(g[ai].tolist(), g[bi].tolist()):
+            if x != y:
+                co[(x, y)] = co.get((x, y), 0) + 1
+    exact = set()
+    for (x, y), c in co.items():
+        union = sizes[x] + sizes[y] - c
+        if union > 0 and c / union >= threshold:
+            exact.add((x, y))
+    return exact
+
+
+def minhash_dedup_pairs_checked(
+    sf_dir: str, threshold: float = DEFAULT_THRESHOLD
+) -> pa.Table:
+    """minhash_dedup_pairs + in-band banding recall vs the exact twin
+    (recall_c6 = floor(recall*1e6+0.5); -1 above the gate). Precision is
+    1.0 by construction (candidates are exactly verified), so recall is the
+    only approximate axis — stamping it makes the driver record show how
+    much the banding missed, not just that the query ran."""
+    import pyarrow.parquet as pq
+
+    got_tbl = pa.concat_tables(
+        list(
+            minhash_dedup_pairs(sf_dir, threshold=threshold).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n_docs <= MINHASH_RECALL_MAX_DOCS:
+        exact = _exact_hashed_jaccard_pairs(sf_dir, threshold)
+        got = set(zip(got_tbl.column("a").to_pylist(),
+                      got_tbl.column("b").to_pylist()))
+        recall = len(exact & got) / max(1, len(exact))
+        c6 = int(np.floor(recall * 1_000_000.0 + 0.5))
+    else:
+        c6 = -1
+    return got_tbl.append_column(
+        "recall_c6", pa.array([c6] * got_tbl.num_rows, pa.int64())
+    )

@@ -291,3 +291,35 @@ def test_bloom_filter_exact_and_selective():
     assert bloom_contains(bits, m, member).all()
     fp = bloom_contains(bits, m, probe).mean()
     assert fp < 0.01, fp
+
+
+def test_ann_checked_inband_recall(ray_session):
+    """Driver-facing ANN entries stamp their measured exact recall in-band
+    (recall_c6); at fixture scale the exact twin always runs."""
+    from spacy_crfsuite_ray.ops.ann import ann_ivf_checked, ann_lsh_checked
+
+    for fn in (ann_lsh_checked, ann_ivf_checked):
+        tbl = fn(SF)
+        c6 = set(tbl.column("recall_c6").to_pylist())
+        assert len(c6) == 1
+        val = c6.pop()
+        assert 400_000 <= val <= 1_000_000  # recall in [0.4, 1.0], measured
+
+
+def test_minhash_checked_inband_recall(ray_session):
+    """The driver-facing minhash entry stamps banding recall vs the exact
+    hashed-Jaccard twin; at fixture scale the twin always runs and the
+    pair set must be a subset of the exact set (precision 1.0)."""
+    from spacy_crfsuite_ray.ops.dedup import (
+        DEFAULT_THRESHOLD, _exact_hashed_jaccard_pairs,
+        minhash_dedup_pairs_checked,
+    )
+
+    tbl = minhash_dedup_pairs_checked(SF)
+    c6 = set(tbl.column("recall_c6").to_pylist())
+    assert len(c6) == 1
+    val = c6.pop()
+    assert 500_000 <= val <= 1_000_000
+    exact = _exact_hashed_jaccard_pairs(SF, DEFAULT_THRESHOLD)
+    got = set(zip(tbl.column("a").to_pylist(), tbl.column("b").to_pylist()))
+    assert got <= exact
