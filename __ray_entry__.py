@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": relational.event_props_stats,
         "purchase_attribution": relational.purchase_attribution,
         "urgent_revenue_bloom": relational.urgent_revenue_bloom,
+        "first_shipment": relational.first_shipment,
     }
 
 
@@ -696,6 +697,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag
+        """,
+        # mirror of ops.relational.first_shipment (distributed ARGMIN —
+        # whole row at the per-order minimum under the fully deterministic
+        # total order (l_shipdate, l_linenumber, l_partkey, price_c2);
+        # the extra tie-break columns matter because the synthetic lineitem
+        # carries duplicate (orderkey, linenumber) rows)
+        "first_shipment": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_partkey, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS price_c2
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY l_orderkey
+                      ORDER BY l_shipdate, l_linenumber, l_partkey,
+                               floor(l_extendedprice * 100 + 0.5)) AS rn
+                  FROM lineitem)
+            WHERE rn = 1
         """,
         # mirror of ops.relational.purchase_attribution (inner RANGE
         # join): same half-open 30-minute window, same floor(value*1e4+0.5)

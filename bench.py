@@ -122,7 +122,7 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "event_asof_order", "revenue_by_region", "user_value_sliding_sum",
             "event_props_stats", "ngram_jaccard_pairs", "purchase_attribution",
             "tfidf_top_terms", "embedding_centroids",
-            "lang_source_rollup", "urgent_revenue_bloom",
+            "lang_source_rollup", "urgent_revenue_bloom", "first_shipment",
         ]:
             t0 = time.time()
             _consume(qs[name](SF_DIR))

@@ -799,3 +799,90 @@ def urgent_revenue_bloom(sf_dir: str,
         lambda b: b.rename_columns(["l_returnflag", "revenue_c4", "n_items"]),
         batch_format="pyarrow",
     )
+
+
+def first_shipment(sf_dir: str) -> "rd.Dataset":
+    """Distributed ARGMIN: for every order, the lineitem row that ships
+    first — the select-the-whole-row-at-the-group-minimum pattern, which no
+    plain column aggregate expresses. Total order per group:
+    (l_shipdate, l_linenumber, l_partkey, price_c2) — fully deterministic
+    even when the data carries duplicate (orderkey, linenumber) rows.
+
+    Shape: fully vectorized, zero per-group UDF. Each row is encoded as ONE
+    fixed-width big-endian byte string — ordering fields first, payload
+    after — so byte-lexicographic order == row order, and the whole argmin
+    is a single Ray `Min` aggregate over the binary column (Arrow's min
+    kernel compares bytes lexicographically). Packing several int64s into
+    bytes instead of bit-packing one int64 means no field-width budget and
+    no cross-row 'tearing' on ties: the winner is one atomic value. The
+    map-side combine leaves at most one (int64, 32B) row per order per
+    block on the shuffle, and decode is a numpy byte-view reshape."""
+
+    def encode(batch: pa.Table) -> pa.Table:
+        us = pc.cast(
+            pc.cast(batch.column("l_shipdate"), pa.timestamp("us")),
+            pa.int64(),
+        ).to_numpy()
+        ln = pc.cast(batch.column("l_linenumber"), pa.int64()).to_numpy()
+        part = pc.cast(batch.column("l_partkey"), pa.int64()).to_numpy()
+        price = _to_scaled_int(
+            batch.column("l_extendedprice"), 100
+        ).to_numpy()
+        if (
+            (us < 0).any() or (ln < 0).any()
+            or (part < 0).any() or (price < 0).any()
+        ):
+            raise ValueError(
+                "first_shipment byte-lex argmin requires non-negative "
+                "fields (unsigned big-endian encoding)"
+            )
+        n = len(us)
+        buf = np.empty((n, 32), np.uint8)
+        for i, col in enumerate((us, ln, part, price)):
+            buf[:, i * 8:(i + 1) * 8] = (
+                col.astype(">u8").view(np.uint8).reshape(n, 8)
+            )
+        offsets = pa.py_buffer(
+            np.arange(0, (n + 1) * 32, 32, dtype=np.int32)
+        )
+        key = pa.Array.from_buffers(
+            pa.binary(), n, [None, offsets, pa.py_buffer(buf)]
+        )
+        return pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "key": key}
+        )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        raw = b"".join(batch.column("min(key)").to_pylist())
+        m = (
+            np.frombuffer(raw, np.uint8)
+            .reshape(-1, 32)
+            .copy()
+            .view(">u8")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": pa.array(m[:, 1], pa.int64()),
+                "l_partkey": pa.array(m[:, 2], pa.int64()),
+                "l_shipdate": pa.array(m[:, 0], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "price_c2": pa.array(m[:, 3], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_partkey", "l_shipdate",
+                     "l_extendedprice"],
+        )
+        .map_batches(encode, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Min("key"))
+        .map_batches(decode, batch_format="pyarrow")
+    )

@@ -47,7 +47,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "event_asof_order", "doc_sample", "ngram_top", "revenue_by_region",
     "user_value_sliding_sum", "event_props_stats", "ngram_jaccard_pairs",
     "purchase_attribution", "tfidf_top_terms", "embedding_centroids",
-    "lang_source_rollup", "urgent_revenue_bloom",
+    "lang_source_rollup", "urgent_revenue_bloom", "first_shipment",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
