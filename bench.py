@@ -123,6 +123,9 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "event_props_stats", "ngram_jaccard_pairs", "purchase_attribution",
             "tfidf_top_terms", "embedding_centroids",
             "lang_source_rollup", "urgent_revenue_bloom", "first_shipment",
+            "event_lag_delta", "order_priority_pivot",
+            "distinct_users_by_type", "chunk_dup_stats",
+            "top_bigram_fraction",
         ]:
             t0 = time.time()
             _consume(qs[name](SF_DIR))

@@ -19,6 +19,7 @@ from typing import List
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -1121,4 +1122,108 @@ def minhash_dedup_pairs_checked(
         c6 = -1
     return got_tbl.append_column(
         "recall_c6", pa.array([c6] * got_tbl.num_rows, pa.int64())
+    )
+
+
+# ------------------------------------------------------------- chunk dedup
+
+CHUNK_WORDS = 8
+
+
+def _chunk_key_rows(batch: pa.Table, k: int = CHUNK_WORDS) -> pa.Table:
+    """Explode each document into its consecutive full k-word chunks and
+    emit (md5(chunk), doc_id) rows. Chunk construction is pure list-offset
+    arithmetic (split once, gather, one binary_join) — no per-word Python.
+    The shuffle carries a 32-hex key + int64, never the chunk text.
+    Split is on a literal single space to mirror SQL string_split(text,' ')
+    byte-for-byte (boundary empties and all)."""
+    lst = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    flat = lst.flatten()
+    m = counts // k                      # full chunks per doc
+    total = int(m.sum()) * k
+    if total == 0:
+        return pa.table({"h": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64())})
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    base = np.repeat(offs[:-1], m * k)
+    within = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(m * k)])[:-1], m * k
+    )
+    taken = flat.take(pa.array(base + within, pa.int64()))
+    chunks = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, total + 1, k, dtype=np.int32), pa.int32()),
+        taken,
+    )
+    chunk_text = pc.binary_join(chunks, " ")
+    doc_of = np.repeat(np.arange(len(counts)), m)
+    return pa.table(
+        {
+            "h": pa.array(
+                [text_md5(t) for t in chunk_text.to_pylist()], pa.string()
+            ),
+            "doc_id": pc.cast(
+                batch.column("doc_id").take(pa.array(doc_of, pa.int64())),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def chunk_dup_stats(sf_dir: str, k: int = CHUNK_WORDS) -> "rd.Dataset":
+    """Sub-document exact dedup (C4/RefinedWeb paragraph-dedup shape, over
+    word chunks since this corpus is single-line): per document, how many of
+    its consecutive k-word chunks occur >= 2 times ANYWHERE in the corpus
+    (including within the same document).
+
+    100 TB shape: documents explode to (md5(chunk), doc_id) rows; one
+    groupby counts each chunk's corpus frequency; a hash-join ships those
+    counts back to the chunk instances (nothing is broadcast and no text is
+    shuffled); a combiner-first groupby folds per-doc totals. Docs with no
+    full chunk drop out (mirrored by the oracle)."""
+    from ..functions.cluster import join_partitions
+
+    chunks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _chunk_key_rows(b, k), batch_format="pyarrow"
+    )
+    counts = chunks.groupby("h").count()
+    # ~8 full chunks per document on this corpus shape: a footer-metadata
+    # row estimate keeps the join from spinning up per-CPU aggregator
+    # actors for fixture-scale inputs (actor startup dominates there)
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    num_partitions = join_partitions(rows=n_docs * 8)
+    j = chunks.join(
+        counts, join_type="inner", num_partitions=num_partitions, on=("h",),
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        dup = pc.cast(
+            pc.greater_equal(batch.column("count()"), 2), pa.int64()
+        )
+        t = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "dup": dup,
+            }
+        )
+        return t.group_by("doc_id").aggregate(
+            [("one", "sum"), ("dup", "sum")]
+        ).rename_columns(["doc_id", "one", "dup"])
+
+    from ..functions.tables import stable_rename
+
+    return (
+        j.map_batches(fold, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum(["one", "dup"])
+        .map_batches(
+            stable_rename(["doc_id", "n_chunks", "n_dup_chunks"],
+                          [pa.int64(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        )
     )

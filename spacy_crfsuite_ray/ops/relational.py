@@ -886,3 +886,137 @@ def first_shipment(sf_dir: str) -> "rd.Dataset":
         .aggregate(Min("key"))
         .map_batches(decode, batch_format="pyarrow")
     )
+
+
+def event_lag_delta(sf_dir: str) -> "rd.Dataset":
+    """LAG window function: for every event, microseconds since the same
+    user's PREVIOUS event in (ts, event_id) order; -1 for the user's first
+    event. One hash shuffle on user_id; in-group ordering + delta is a
+    vectorized int64 diff (timestamps viewed as epoch-microseconds).
+    Mirrors SQL ``epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)``. Partitioning assumption: one user's
+    event stream fits in a worker (salt the key for pathological users)."""
+
+    def lag(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        us = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        delta = np.empty(len(us), dtype=np.int64)
+        delta[0] = -1
+        if len(us) > 1:
+            delta[1:] = us[1:] - us[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "prev_gap_us": delta,
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+        .groupby("user_id")
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
+_PRIORITY_COLS = [
+    ("1-URGENT", "p1_urgent"),
+    ("2-HIGH", "p2_high"),
+    ("3-MEDIUM", "p3_medium"),
+    ("4-NOT SPECIFIED", "p4_not_specified"),
+    ("5-LOW", "p5_low"),
+]
+
+
+def order_priority_pivot(sf_dir: str) -> "rd.Dataset":
+    """PIVOT (conditional aggregation): orders counted per market segment x
+    order priority, one wide row per segment. The segment is attached via a
+    broadcast hash join (customer side `ray.put` once, probed per batch);
+    the pivot itself is a per-batch indicator-column partial aggregate, so
+    the shuffle moves at most one wide row per (batch, segment) — never a
+    row per order. Mirrors SQL ``SUM(CASE WHEN o_orderpriority = ... THEN 1
+    ELSE 0 END)`` per segment."""
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_of = dict(
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist())
+    )
+    seg_ref = ray.put(seg_of)
+    names = [n for _, n in _PRIORITY_COLS]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        segs = get_broadcast(seg_ref)
+        seg = pa.array(
+            [segs.get(k) for k in batch.column("o_custkey").to_pylist()],
+            pa.string(),
+        )
+        prio = batch.column("o_orderpriority")
+        cols = {"c_mktsegment": seg}
+        for value, name in _PRIORITY_COLS:
+            cols[name] = pc.cast(pc.equal(prio, value), pa.int64())
+        t = pa.table(cols)
+        return t.group_by("c_mktsegment").aggregate(
+            [(n, "sum") for n in names]
+        ).rename_columns(["c_mktsegment"] + names)
+
+    ds = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .sum(names)
+    )
+    from ..functions.tables import stable_rename
+
+    return ds.map_batches(
+        stable_rename(["c_mktsegment"] + names,
+                      [pa.string()] + [pa.int64()] * len(names)),
+        batch_format="pyarrow",
+    )
+
+
+def distinct_users_by_type(sf_dir: str) -> "rd.Dataset":
+    """Exact distributed COUNT(DISTINCT): unique users per event type.
+    Stage 1 dedups (event_type, user_id) pairs inside each batch (an Arrow
+    group_by — cheap, no shuffle) so the wire carries at most one row per
+    pair per batch; stage 2's groupby on BOTH keys completes the global
+    dedup; stage 3 is a tiny count per type. This is the
+    combiner-before-shuffle shape COUNT(DISTINCT) needs at 100 TB — a
+    naive groupby(event_type) would ship every event row to one reducer."""
+
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["event_type", "user_id"])
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
+
+    ds = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        .map_batches(pair_dedup, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()
+        .map_batches(
+            lambda b: b.select(["event_type"]), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .count()
+    )
+    from ..functions.tables import stable_rename
+
+    return ds.map_batches(
+        stable_rename(["event_type", "n_users"], [pa.string(), pa.int64()]),
+        batch_format="pyarrow",
+    )

@@ -506,3 +506,79 @@ def lang_source_rollup(sf_dir: str) -> pa.Table:
             grand.select(cols),
         ]
     )
+
+
+def _filtered_words(text_col):
+    """Lowercase + whitespace-split + drop-empties, vectorized: returns
+    (flat word Array grouped contiguously by doc, per-doc word counts).
+    Mirrors SQL ``list_filter(regexp_split_to_array(lower(text), '\\s+'),
+    x -> x <> '')`` exactly (Arrow's split keeps boundary empties — the
+    filter removes them)."""
+    lst = pc.split_pattern_regex(pc.utf8_lower(text_col), r"\s+")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    flat = lst.flatten()
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(len(counts)), counts)[keep_np]
+    return flat.filter(keep), np.bincount(doc_of, minlength=len(counts))
+
+
+def top_bigram_fraction(sf_dir: str) -> "rd.Dataset":
+    """Repetition quality signal (Gopher-style): per document, the count of
+    its most frequent word bigram over its total bigram count. Entirely
+    within-row → ONE map_batches pass, no shuffle; bigram construction and
+    counting are vectorized (list-offset arithmetic + one Arrow group_by
+    per batch), no per-token Python loop. Docs with <2 words drop out —
+    mirrored by the SQL oracle's empty-range behavior."""
+
+    def frac(batch: pa.Table) -> pa.Table:
+        flat, counts = _filtered_words(batch.column("text"))
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        # every word position except each non-empty doc's last is a
+        # bigram's left element
+        keep = np.ones(int(offs[-1]), dtype=bool)
+        keep[offs[1:][counts > 0] - 1] = False
+        left = np.nonzero(keep)[0]
+        if len(left) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "top_bigram_n": pa.array([], pa.int64()),
+                    "top_fraction_c6": pa.array([], pa.int64()),
+                }
+            )
+        li = pa.array(left, pa.int64())
+        ri = pa.array(left + 1, pa.int64())
+        bigrams = pc.binary_join_element_wise(
+            flat.take(li), flat.take(ri), " "
+        )
+        doc_of = np.repeat(np.arange(len(counts)), np.maximum(counts - 1, 0))
+        per = (
+            pa.table({"d": pa.array(doc_of, pa.int64()), "bg": bigrams})
+            .group_by(["d", "bg"])
+            .aggregate([("bg", "count")])
+        )
+        agg = (
+            per.select(["d", "bg_count"])
+            .group_by("d")
+            .aggregate([("bg_count", "sum"), ("bg_count", "max")])
+        )
+        total = agg.column("bg_count_sum").to_numpy().astype(np.float64)
+        top = agg.column("bg_count_max").to_numpy().astype(np.float64)
+        c6 = np.floor(top / total * 1_000_000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(agg.column("d")),
+                "n_bigrams": pc.cast(agg.column("bg_count_sum"), pa.int64()),
+                "top_bigram_n": pc.cast(agg.column("bg_count_max"),
+                                        pa.int64()),
+                "top_fraction_c6": pa.array(c6, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        frac, batch_format="pyarrow"
+    )

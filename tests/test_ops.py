@@ -48,6 +48,8 @@ def _assert_matches_oracle(ray_result, sql, con):
     "user_value_sliding_sum", "event_props_stats", "ngram_jaccard_pairs",
     "purchase_attribution", "tfidf_top_terms", "embedding_centroids",
     "lang_source_rollup", "urgent_revenue_bloom", "first_shipment",
+    "event_lag_delta", "order_priority_pivot", "distinct_users_by_type",
+    "chunk_dup_stats", "top_bigram_fraction",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
@@ -323,3 +325,35 @@ def test_minhash_checked_inband_recall(ray_session):
     exact = _exact_hashed_jaccard_pairs(SF, DEFAULT_THRESHOLD)
     got = set(zip(tbl.column("a").to_pylist(), tbl.column("b").to_pylist()))
     assert got <= exact
+
+
+def test_kg_domain_stats_sql_matches_written_triples(ray_session, con):
+    """The salted domain aggregate must hash-match DuckDB re-aggregating the
+    pipeline's OWN written triples parquet (the driver-visible oracle for
+    the KG family)."""
+    import __ray_entry__ as E
+
+    _assert_matches_oracle(
+        E._domain_stats_sql(SF), E._domain_stats_oracle(SF), con
+    )
+
+
+def test_chunk_dup_stats_detects_planted_dup(ray_session, con):
+    """Two docs sharing an 8-word run must both carry >= 1 dup chunk, and
+    every (n_dup_chunks <= n_chunks) invariant must hold."""
+    import __ray_entry__ as E
+
+    df = _df(E.queries()["chunk_dup_stats"](SF))
+    assert (df["n_dup_chunks"] <= df["n_chunks"]).all()
+    assert (df["n_chunks"] > 0).all()
+    # the corpus plants exact/near duplicate documents -> shared chunks
+    assert df["n_dup_chunks"].sum() > 0
+
+
+def test_top_bigram_fraction_bounds(ray_session):
+    import __ray_entry__ as E
+
+    df = _df(E.queries()["top_bigram_fraction"](SF))
+    assert (df["top_bigram_n"] <= df["n_bigrams"]).all()
+    assert (df["top_fraction_c6"] > 0).all()
+    assert (df["top_fraction_c6"] <= 1_000_000).all()
