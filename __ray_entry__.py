@@ -146,8 +146,15 @@ def _domain_stats(sf_dir: str):
     # with the salted two-stage result row for row
     from spacy_crfsuite_ray.functions.tables import stable_rename
 
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("domain").aggregate(
+            [("one", "sum")]
+        ).rename_columns(["domain", "one"])
+
     exact = (
-        domains.groupby("domain")
+        domains.map_batches(partial, batch_format="pyarrow")
+        .repartition(2)  # pre-combined tiny stream: bound reduce fan-out
+        .groupby("domain")
         .sum("one")
         .map_batches(
             stable_rename(["domain", "n_triples_exact"],

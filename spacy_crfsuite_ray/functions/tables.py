@@ -22,3 +22,42 @@ def stable_rename(names: List[str], types: Sequence[pa.DataType]):
         return batch.rename_columns(names)
 
     return fn
+
+
+def read_parquet_nometa(paths, *, columns=None, **kw):
+    """``ray.data.read_parquet`` with the writer's schema metadata stripped.
+
+    The driver-generated fixtures carry a ``pandas`` schema-metadata blob;
+    a ``pa.Schema`` holding that dict is UNHASHABLE, so every schema-dedup
+    attempt inside Ray's read-split and shuffle paths logs "Failed to hash
+    the schemas" — noise that would bury real problems at 100x block
+    counts. Passing an explicit metadata-free schema (one footer read on
+    the driver — free) fixes the read stage itself; downstream stages all
+    construct fresh metadata-less tables. Files that are already clean skip
+    the override entirely."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    schema = None
+    try:
+        if os.path.isdir(first):
+            cands = sorted(
+                f for f in os.listdir(first) if f.endswith(".parquet")
+            )
+            first = os.path.join(first, cands[0]) if cands else None
+        if first:
+            schema = pq.read_schema(first)
+            if schema.metadata:
+                schema = schema.remove_metadata()
+                if columns is not None:
+                    schema = pa.schema([schema.field(c) for c in columns])
+            else:
+                schema = None  # already clean — no need to constrain
+    except Exception:
+        schema = None
+    if schema is not None:
+        kw["schema"] = schema
+    return rd.read_parquet(paths, columns=columns, **kw)

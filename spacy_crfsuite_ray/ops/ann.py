@@ -18,6 +18,8 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from ..functions.tables import read_parquet_nometa
+
 DEFAULT_K = 5
 DEFAULT_N_QUERIES = 8
 LSH_PLANES = 12
@@ -128,7 +130,7 @@ def ann_topk(
 
     query_ref = ray.put(_query_matrix(sf_dir, n_queries))
     return (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         .map_batches(
@@ -137,6 +139,9 @@ def ann_topk(
             fn_constructor_kwargs={"query_ref": query_ref, "k": k},
             concurrency=(1, 8),
         )
+        # combiner leaves k rows per (query, batch): coalesce before the
+        # tiny per-query groupby (functions.cluster.coalesce_small rationale)
+        .repartition(2)
         .groupby("query_id")
         .map_groups(_final_topk(k), batch_format="pandas")
     )
@@ -219,7 +224,7 @@ def ann_lsh(
             )
 
     return (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         .map_batches(
@@ -228,6 +233,9 @@ def ann_lsh(
             fn_constructor_kwargs={"ref": probe_ref},
             concurrency=(1, 8),
         )
+        # combiner leaves k rows per (query, batch): coalesce before the
+        # tiny per-query groupby (functions.cluster.coalesce_small rationale)
+        .repartition(2)
         .groupby("query_id")
         .map_groups(
             lambda g: g.sort_values(["cosine", "neighbor_id"],
@@ -335,7 +343,7 @@ def ann_ivf(
             )
 
     return (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         .map_batches(
@@ -344,6 +352,9 @@ def ann_ivf(
             fn_constructor_kwargs={"ref": ref},
             concurrency=(1, 8),
         )
+        # combiner leaves k rows per (query, batch): coalesce before the
+        # tiny per-query groupby (functions.cluster.coalesce_small rationale)
+        .repartition(2)
         .groupby("query_id")
         .map_groups(_final_topk(k), batch_format="pandas")
     )
@@ -391,7 +402,7 @@ def embedding_centroids(sf_dir: str) -> "rd.Dataset":
         )
 
     ds = (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
         )
         .map_batches(partial, batch_format="pyarrow")

@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..functions.tables import read_parquet_nometa
+
 from ..functions.hashing import (
     _shingle_hashes,
     simhash64,
@@ -41,7 +43,7 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_nometa(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def exact_dedup(sf_dir: str) -> "rd.Dataset":
@@ -623,7 +625,7 @@ def _embedding_dup_pairs_exact(sf_dir: str, threshold: float) -> "rd.Dataset":
                 }
             )
 
-    return rd.read_parquet(
+    return read_parquet_nometa(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(
         Scan,
@@ -734,7 +736,7 @@ def embedding_dup_pairs_lsh(
         return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
 
     bucketed = (
-        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        read_parquet_nometa(path, columns=["vec_id", "embedding"])
         .map_batches(bucket_rows, batch_format="pyarrow")
         .groupby("bk")
         .map_groups(bucket_pairs, batch_format="pandas")
@@ -797,7 +799,7 @@ def _embedding_lsh_pairs_joined(
 
     import pyarrow.parquet as pq
 
-    src = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    src = read_parquet_nometa(path, columns=["vec_id", "embedding"])
     vec_ds = src.map_batches(vec_rows, batch_format="pyarrow").materialize()
     # NO dedupe before the join: a pair found by k tables rides the join k
     # times (bounded by n_tables — linear work), because a pre-join

@@ -21,6 +21,8 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from ..functions.tables import read_parquet_nometa
+
 MAGIC = b"SIMG"
 
 MEDIA_SCHEMA = pa.schema(
@@ -117,7 +119,7 @@ def media_features(sf_dir: str, media_path: str = None) -> "rd.Dataset":
 
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         media_path = synth_media_table(sf_dir, f"/tmp/scr_media_{tag}.parquet")
-    return rd.read_parquet(media_path).map_batches(
+    return read_parquet_nometa(media_path).map_batches(
         MediaFeatureStage,
         batch_format="pyarrow",
         batch_size=64,  # small batches: rows carry binary payloads
@@ -284,7 +286,7 @@ def _fixture_path(sf_dir: str, tag: str) -> str:
 def audio_features(sf_dir: str, media_path: str = None) -> "rd.Dataset":
     if media_path is None:
         media_path = synth_audio_table(sf_dir, _fixture_path(sf_dir, "aud"))
-    return rd.read_parquet(media_path).map_batches(
+    return read_parquet_nometa(media_path).map_batches(
         AudioFeatureStage,
         batch_format="pyarrow",
         batch_size=64,
@@ -295,7 +297,7 @@ def audio_features(sf_dir: str, media_path: str = None) -> "rd.Dataset":
 def video_frame_sample(sf_dir: str, media_path: str = None) -> "rd.Dataset":
     if media_path is None:
         media_path = synth_video_table(sf_dir, _fixture_path(sf_dir, "vid"))
-    return rd.read_parquet(media_path).map_batches(
+    return read_parquet_nometa(media_path).map_batches(
         VideoFrameSampleStage,
         batch_format="pyarrow",
         batch_size=32,  # video payloads are the largest rows

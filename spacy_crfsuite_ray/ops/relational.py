@@ -18,6 +18,15 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from ..functions.tables import read_parquet_nometa
+
+# `.repartition(_small_parts_cap(cap=2))` before a final low-cardinality
+# groupby is functions.cluster.coalesce_small's block coalesce (see its
+# docstring): the stream is already shrunk by a per-batch combiner, so this
+# bounds sort-shuffle reduce fan-out (task overhead) and stops empty reduce
+# partitions from emitting schema-less blocks (executor schema-drift noise).
+from ..functions.cluster import join_partitions as _small_parts_cap
+
 
 def _to_scaled_int(col, scale: int):
     """floor(x*scale + 0.5) as int64 — exact, order-independent summation;
@@ -60,12 +69,13 @@ def lineitem_agg(sf_dir: str) -> "rd.Dataset":
         )
 
     ds = (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_linestatus", "l_quantity",
                      "l_extendedprice", "l_discount"],
         )
         .map_batches(partial, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
         .groupby(["l_returnflag", "l_linestatus"])
         .sum(["qty", "revenue", "disc", "one"])
     )
@@ -127,7 +137,7 @@ def segment_revenue(sf_dir: str) -> "rd.Dataset":
             )
 
     ds = (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
         )
         .map_batches(
@@ -136,6 +146,7 @@ def segment_revenue(sf_dir: str) -> "rd.Dataset":
             fn_constructor_kwargs={"ref": seg_ref},
             concurrency=(1, 8),
         )
+        .repartition(_small_parts_cap(cap=2))
         .groupby("c_mktsegment")
         .sum(["price", "one"])
     )
@@ -156,7 +167,7 @@ def segment_revenue(sf_dir: str) -> "rd.Dataset":
 def top_parts(sf_dir: str, k: int = 10) -> "rd.Dataset":
     """Global top-k by retail price (sort desc + limit; tie-break p_partkey)."""
     return (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
         )
         .sort(["p_retailprice", "p_partkey"], descending=[True, False])
@@ -186,7 +197,7 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
         )
 
     return (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
         )
         .groupby("user_id")
@@ -227,12 +238,24 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> "rd.Dataset":
                               ascending=[False, True]).head(k)
         return g[["c_mktsegment", "o_orderkey", "o_totalprice"]]
 
+    def topk_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # batch-local top-k per segment (combiner): the shuffle carries at
+        # most k rows per (batch, segment), never a row per order
+        return (
+            batch.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True])
+            .groupby("c_mktsegment", sort=False)
+            .head(k)
+        )
+
     return (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey", "o_orderkey", "o_totalprice"],
         )
         .map_batches(attach, batch_format="pyarrow")
+        .map_batches(topk_partial, batch_format="pandas")
+        .repartition(_small_parts_cap(cap=2))
         .groupby("c_mktsegment")
         .map_groups(topk, batch_format="pandas")
     )
@@ -259,20 +282,43 @@ def priority_semijoin(sf_dir: str, min_discount: float = 0.06) -> "rd.Dataset":
         keep = pc.greater_equal(batch.column("l_discount"), min_discount)
         return batch.filter(keep).select(["l_orderkey"])
 
-    li = rd.read_parquet(
+    li = read_parquet_nometa(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_discount"]
     ).map_batches(qualifying, batch_format="pyarrow")
-    orders = rd.read_parquet(
+    orders = read_parquet_nometa(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    ds = orders.join(
+    def partial_count(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("o_orderpriority").aggregate(
+            [("n", "sum")]
+        ).rename_columns(["o_orderpriority", "n"])
+
+    joined = orders.join(
         li, join_type="left_semi",
         num_partitions=_join_parts(f"{sf_dir}/orders.parquet",
                                    f"{sf_dir}/lineitem.parquet"),
         on=("o_orderkey",), right_on=("l_orderkey",),
-    ).groupby("o_orderpriority").count()
+    )
+    # combiner-first: count per priority inside each join-output block, so
+    # the final 5-group groupby shuffles one row per (block, priority) —
+    # never a row per order
+    ds = (
+        joined.map_batches(partial_count, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
+        .groupby("o_orderpriority")
+        .sum("n")
+    )
+    from ..functions.tables import stable_rename
+
     return ds.map_batches(
-        lambda b: b.rename_columns(["o_orderpriority", "n_orders"]),
+        stable_rename(["o_orderpriority", "n_orders"],
+                      [pa.string(), pa.int64()]),
         batch_format="pyarrow",
     )
 
@@ -282,10 +328,10 @@ def customers_no_orders(sf_dir: str,
     """Distributed ANTI-join (TPC-H Q22 shape): customers with NO order
     above ``min_totalprice``, counted per market segment. The orders side
     is filtered before the shuffle."""
-    cust = rd.read_parquet(
+    cust = read_parquet_nometa(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    orders = rd.read_parquet(
+    orders = read_parquet_nometa(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(
         lambda b: b.filter(
@@ -293,14 +339,34 @@ def customers_no_orders(sf_dir: str,
         ).select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    ds = cust.join(
-        orders, join_type="left_anti",
-        num_partitions=_join_parts(f"{sf_dir}/customer.parquet",
-                                   f"{sf_dir}/orders.parquet"),
-        on=("c_custkey",), right_on=("o_custkey",),
-    ).groupby("c_mktsegment").count()
+    def partial_count(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("c_mktsegment").aggregate(
+            [("n", "sum")]
+        ).rename_columns(["c_mktsegment", "n"])
+
+    ds = (
+        cust.join(
+            orders, join_type="left_anti",
+            num_partitions=_join_parts(f"{sf_dir}/customer.parquet",
+                                       f"{sf_dir}/orders.parquet"),
+            on=("c_custkey",), right_on=("o_custkey",),
+        )
+        .map_batches(partial_count, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
+        .groupby("c_mktsegment")
+        .sum("n")
+    )
+    from ..functions.tables import stable_rename
+
     return ds.map_batches(
-        lambda b: b.rename_columns(["c_mktsegment", "n_customers"]),
+        stable_rename(["c_mktsegment", "n_customers"],
+                      [pa.string(), pa.int64()]),
         batch_format="pyarrow",
     )
 
@@ -318,7 +384,7 @@ def shipping_priority(sf_dir: str, k: int = 10,
 
     cutoff = pa.scalar(np.datetime64(SHIPPING_CUTOFF, "us"))
 
-    cust = rd.read_parquet(
+    cust = read_parquet_nometa(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
         lambda b: b.filter(
@@ -326,7 +392,7 @@ def shipping_priority(sf_dir: str, k: int = 10,
         ).select(["c_custkey"]),
         batch_format="pyarrow",
     )
-    orders = rd.read_parquet(
+    orders = read_parquet_nometa(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey",
                                              "o_orderdate"]
     ).map_batches(
@@ -355,7 +421,7 @@ def shipping_priority(sf_dir: str, k: int = 10,
             [("rev", "sum")]
         ).rename_columns(["l_orderkey", "rev"])
 
-    li = rd.read_parquet(
+    li = read_parquet_nometa(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(li_partial, batch_format="pyarrow")
@@ -418,10 +484,10 @@ def event_asof_order(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    events = rd.read_parquet(
+    events = read_parquet_nometa(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     ).map_batches(ev_rows, batch_format="pyarrow")
-    orders = rd.read_parquet(
+    orders = read_parquet_nometa(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderdate", "o_orderkey"],
     ).map_batches(od_rows, batch_format="pyarrow")
@@ -470,10 +536,11 @@ def events_daily(sf_dir: str) -> "rd.Dataset":
         )
 
     ds = (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
         )
         .map_batches(day_key, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
         .groupby(["event_type", "day"])
         .sum(["value", "one"])
     )
@@ -551,11 +618,12 @@ def revenue_by_region(sf_dir: str) -> "rd.Dataset":
         ).rename_columns(["r_name", "rev", "one"])
 
     ds = (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_suppkey", "l_extendedprice", "l_discount"],
         )
         .map_batches(probe, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
         .groupby("r_name")
         .sum(["rev", "one"])
     )
@@ -603,7 +671,7 @@ def user_value_sliding_sum(sf_dir: str, window: int = 3) -> "rd.Dataset":
         )
 
     return (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/events.parquet",
             columns=["user_id", "ts", "event_id", "value"],
         )
@@ -635,9 +703,10 @@ def event_props_stats(sf_dir: str) -> "rd.Dataset":
         ).rename_columns(["event_type", "k", "one"])
 
     ds = (
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        read_parquet_nometa(f"{sf_dir}/events.parquet",
                         columns=["event_type", "props"])
         .map_batches(partial, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
         .groupby("event_type")
         .sum(["k", "one"])
     )
@@ -682,7 +751,7 @@ def purchase_attribution(sf_dir: str, window_minutes: int = 30) -> "rd.Dataset":
             }
         )
 
-    events = rd.read_parquet(
+    events = read_parquet_nometa(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_type", "value", "event_id"],
     ).map_batches(rows, batch_format="pyarrow")
@@ -771,12 +840,12 @@ def urgent_revenue_bloom(sf_dir: str,
             }
         )
 
-    li = rd.read_parquet(
+    li = read_parquet_nometa(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice",
                  "l_discount"],
     ).map_batches(prefilter, batch_format="pyarrow")
-    orders = rd.read_parquet(
+    orders = read_parquet_nometa(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(
         lambda b: b.filter(
@@ -784,7 +853,17 @@ def urgent_revenue_bloom(sf_dir: str,
         ).select(["o_orderkey"]),
         batch_format="pyarrow",
     )
-    from ray.data.aggregate import Count, Sum
+    def partial_sum(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "rev": batch.column("revenue_c4"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("l_returnflag").aggregate(
+            [("rev", "sum"), ("one", "sum")]
+        ).rename_columns(["l_returnflag", "rev", "one"])
 
     ds = (
         li.join(
@@ -792,11 +871,16 @@ def urgent_revenue_bloom(sf_dir: str,
             num_partitions=_join_parts(f"{sf_dir}/orders.parquet"),
             on=("l_orderkey",), right_on=("o_orderkey",),
         )
+        .map_batches(partial_sum, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
         .groupby("l_returnflag")
-        .aggregate(Sum("revenue_c4"), Count())
+        .sum(["rev", "one"])
     )
+    from ..functions.tables import stable_rename
+
     return ds.map_batches(
-        lambda b: b.rename_columns(["l_returnflag", "revenue_c4", "n_items"]),
+        stable_rename(["l_returnflag", "revenue_c4", "n_items"],
+                      [pa.string(), pa.int64(), pa.int64()]),
         batch_format="pyarrow",
     )
 
@@ -876,7 +960,7 @@ def first_shipment(sf_dir: str) -> "rd.Dataset":
     from ray.data.aggregate import Min
 
     return (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_linenumber", "l_partkey", "l_shipdate",
                      "l_extendedprice"],
@@ -913,7 +997,7 @@ def event_lag_delta(sf_dir: str) -> "rd.Dataset":
         )
 
     return (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
         )
         .groupby("user_id")
@@ -968,11 +1052,12 @@ def order_priority_pivot(sf_dir: str) -> "rd.Dataset":
         ).rename_columns(["c_mktsegment"] + names)
 
     ds = (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey", "o_orderpriority"],
         )
         .map_batches(partial, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
         .groupby("c_mktsegment")
         .sum(names)
     )
@@ -1002,7 +1087,7 @@ def distinct_users_by_type(sf_dir: str) -> "rd.Dataset":
         )
 
     ds = (
-        rd.read_parquet(
+        read_parquet_nometa(
             f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
         )
         .map_batches(pair_dedup, batch_format="pyarrow")
@@ -1011,6 +1096,7 @@ def distinct_users_by_type(sf_dir: str) -> "rd.Dataset":
         .map_batches(
             lambda b: b.select(["event_type"]), batch_format="pyarrow"
         )
+        .repartition(_small_parts_cap(cap=2))
         .groupby("event_type")
         .count()
     )

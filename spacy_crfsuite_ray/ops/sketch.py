@@ -21,6 +21,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.tables import read_parquet_nometa
+
 HLL_P = 12  # 4096 registers → ~1.6% standard error
 
 
@@ -78,7 +80,7 @@ def distinct_hll(sf_dir: str, table: str = "lineitem",
         return pa.table({"regs": pa.array([hll_registers(vals).tobytes()],
                                           pa.binary())})
 
-    src = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+    src = read_parquet_nometa(f"{sf_dir}/{table}.parquet", columns=[column])
     ds = src.map_batches(partial, batch_format="pyarrow")
     merged = np.zeros(1 << HLL_P, dtype=np.uint8)
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
@@ -140,9 +142,13 @@ def quantile_sketch(sf_dir: str, table: str = "orders",
             }
         )
 
+    from ..functions.cluster import coalesce_small
+
     ds = (
-        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
-        .map_batches(partial, batch_format="pyarrow")
+        coalesce_small(
+            read_parquet_nometa(f"{sf_dir}/{table}.parquet", columns=[column])
+            .map_batches(partial, batch_format="pyarrow")
+        )
         .groupby("bin")
         .sum("n")
     )

@@ -13,11 +13,14 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..functions.tables import read_parquet_nometa
+
 from ..core.tokenizer import TOKEN_PATTERN
+from ..functions.cluster import coalesce_small
 
 
 def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_nometa(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def doc_stats(sf_dir: str) -> "rd.Dataset":
@@ -48,9 +51,34 @@ def doc_stats(sf_dir: str) -> "rd.Dataset":
 
 
 def lang_count(sf_dir: str) -> "rd.Dataset":
-    ds = _docs(sf_dir, ["lang"]).groupby("lang").count()
-    return ds.map_batches(
-        lambda b: b.rename_columns(["lang", "n_docs"]), batch_format="pyarrow"
+    """Docs per language — combiner-first: per-batch counts, then a 2-block
+    coalesce + tiny groupby (the shuffle moves one row per (batch, lang),
+    never a row per document)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("lang").aggregate([("n", "sum")]).rename_columns(
+            ["lang", "n"]
+        )
+
+    from ..functions.tables import stable_rename
+
+    return (
+        coalesce_small(
+            _docs(sf_dir, ["lang"]).map_batches(partial,
+                                                batch_format="pyarrow")
+        )
+        .groupby("lang")
+        .sum("n")
+        .map_batches(
+            stable_rename(["lang", "n_docs"], [pa.string(), pa.int64()]),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -69,8 +97,10 @@ def token_count_by_source(sf_dir: str) -> "rd.Dataset":
         )
 
     ds = (
-        _docs(sf_dir, ["source", "text"])
-        .map_batches(partial, batch_format="pyarrow")
+        coalesce_small(
+            _docs(sf_dir, ["source", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+        )
         .groupby("source")
         .sum("c")
     )
@@ -322,9 +352,16 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> "rd.Dataset":
     import pyarrow.parquet as pq
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    term_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _term_rows_batch, batch_format="pyarrow"
+    )
+    if n_docs < 1_000_000:
+        # small-corpus path: vocab < reduce-partition count would leave
+        # empty (schema-less) reduce blocks — coalesce first. At scale the
+        # term stream is corpus-sized and the plain shuffle is correct.
+        term_rows = term_rows.repartition(2)
     df_ds = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(_term_rows_batch, batch_format="pyarrow")
+        term_rows
         .groupby("term")
         .count()
         .map_batches(lambda b: b.rename_columns(["term", "df"]),
@@ -471,8 +508,10 @@ def lang_source_rollup(sf_dir: str) -> pa.Table:
         )
 
     base_ds = (
-        _docs(sf_dir, ["lang", "source", "text"])
-        .map_batches(partial, batch_format="pyarrow")
+        coalesce_small(
+            _docs(sf_dir, ["lang", "source", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+        )
         .groupby(["lang", "source"])
         .sum(["toks", "one"])
     )

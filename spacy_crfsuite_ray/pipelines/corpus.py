@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..functions.tables import read_parquet_nometa
+
 from ..core.tokenizer import TOKEN_PATTERN
 from ..functions.hashing import text_md5
 from ..ops.text import detect_lang
@@ -128,7 +130,7 @@ def _keep_min_pairs(ds, key_col: str, n_rows: int):
 def run_corpus_pipeline(page_files: List[str], out_dir: str) -> Dict:
     """Returns stats; writes ``clean/`` parquet + manifest."""
     t0 = time.time()
-    ds = rd.read_parquet(page_files, columns=["url", "html", "lang"])
+    ds = read_parquet_nometa(page_files, columns=["url", "html", "lang"])
     ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
     ds = ds.map_batches(quality_batch, batch_format="pyarrow")
     ds = ds.materialize()  # counted + deduped

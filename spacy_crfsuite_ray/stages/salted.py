@@ -64,8 +64,10 @@ def salted_sum(
             batch_format="pyarrow",
         )
     )
+    from ..functions.cluster import coalesce_small
+
     return (
-        first.groupby(keys)
+        coalesce_small(first).groupby(keys)
         .sum(value_col)
         .map_batches(
             stable_rename(keys + [out_name], key_types + [value_type]),
