@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_pairs": dedup.simhash_dedup_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dup_clusters": dedup.dup_clusters,
         # --- similarity search
         "ann_topk": ann.ann_topk,
         "ann_lsh": ann.ann_lsh_checked,
@@ -457,6 +458,44 @@ def _lang_id_sql() -> str:
     """
 
 
+# Shared CTE chain defining the exact word-3-gram Jaccard pair graph over
+# `documents` (see ops.dedup.ngram_jaccard_pairs); `j` holds (a, b, jac).
+# Reused verbatim by ngram_jaccard_pairs and dup_clusters so the two oracles
+# cannot drift apart.
+_NGRAM_PAIRS_CTES = r"""w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       END AS shs
+                FROM w),
+            e AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            df_ok AS (SELECT sh FROM e GROUP BY sh
+                      HAVING count(*) BETWEEN 2 AND 10000),
+            co AS (
+                SELECT ea.doc_id AS a, eb.doc_id AS b,
+                       count(*) AS co
+                FROM e ea
+                JOIN df_ok USING (sh)
+                JOIN e eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+                GROUP BY ea.doc_id, eb.doc_id),
+            j AS (
+                SELECT a, b,
+                       CAST(co AS DOUBLE)
+                           / CAST(sa.sz + sb.sz - co AS DOUBLE) AS jac
+                FROM co
+                JOIN sz sa ON sa.doc_id = a
+                JOIN sz sb ON sb.doc_id = b)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats": f"""
@@ -572,42 +611,31 @@ def oracle_sql() -> dict[str, str]:
         # the short-text fallback of functions.hashing.word_shingles, df in
         # [2, 10000] for the intersection, sizes over ALL unique shingles,
         # floor(jac*1e6+0.5) int scaling (identical IEEE expression tree)
-        "ngram_jaccard_pairs": r"""
-            WITH w AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\s+'),
-                                   x -> x <> '') AS w
-                FROM documents),
-            g AS (
-                SELECT doc_id,
-                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
-                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                            ELSE list_transform(
-                                range(1, len(w) - 1),
-                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-                       END AS shs
-                FROM w),
-            e AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM g),
-            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
-            df_ok AS (SELECT sh FROM e GROUP BY sh
-                      HAVING count(*) BETWEEN 2 AND 10000),
-            co AS (
-                SELECT ea.doc_id AS a, eb.doc_id AS b,
-                       count(*) AS co
-                FROM e ea
-                JOIN df_ok USING (sh)
-                JOIN e eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
-                GROUP BY ea.doc_id, eb.doc_id),
-            j AS (
-                SELECT a, b,
-                       CAST(co AS DOUBLE)
-                           / CAST(sa.sz + sb.sz - co AS DOUBLE) AS jac
-                FROM co
-                JOIN sz sa ON sa.doc_id = a
-                JOIN sz sb ON sb.doc_id = b)
+        "ngram_jaccard_pairs": f"""
+            WITH {_NGRAM_PAIRS_CTES}
             SELECT a, b,
                    CAST(floor(jac * 1000000.0 + 0.5) AS BIGINT) AS jac_c6
             FROM j WHERE jac >= 0.5
+        """,
+        # connected components over the same pair graph: recursive-CTE
+        # reachability, cluster_id = MIN reachable doc_id (= min of the
+        # component since edges go both ways)
+        "dup_clusters": f"""
+            WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+            p AS (SELECT a, b FROM j WHERE jac >= 0.5),
+            edges AS (SELECT a AS u, b AS v FROM p
+                      UNION SELECT b AS u, a AS v FROM p),
+            reach(u, v) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.u, e2.v FROM reach r
+                JOIN edges e2 ON r.v = e2.u
+            ),
+            lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                    FROM reach GROUP BY u)
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM lab
         """,
         "ann_topk": """
             WITH q AS (

@@ -125,7 +125,7 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "lang_source_rollup", "urgent_revenue_bloom", "first_shipment",
             "event_lag_delta", "order_priority_pivot",
             "distinct_users_by_type", "chunk_dup_stats",
-            "top_bigram_fraction",
+            "top_bigram_fraction", "dup_clusters",
         ]:
             t0 = time.time()
             _consume(qs[name](SF_DIR))

@@ -1229,3 +1229,180 @@ def chunk_dup_stats(sf_dir: str, k: int = CHUNK_WORDS) -> "rd.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+# --------------------------------------------- dup clusters (connected comp.)
+
+# Below this many dup pairs the components run as a driver union-find (the
+# pair set is the SPARSE output of near-dup detection — even a 100 TB corpus
+# with a 1% dup rate yields pairs that fit one node by orders of magnitude);
+# above it the distributed min-label-propagation twin runs.
+DUP_CLUSTERS_DRIVER_MAX_PAIRS = 1_000_000
+
+# Propagation rounds are bounded by the largest component's diameter. Dup
+# clusters are near-cliques (every member pairs with most others), so the
+# diameter is tiny; 64 rounds is a generous ceiling that still guarantees
+# termination on adversarial chain-shaped inputs.
+DUP_CLUSTERS_MAX_ITER = 64
+
+
+def _clusters_driver(pairs: pa.Table) -> pa.Table:
+    """Union-find with path halving over the (a, b) pair list; cluster_id is
+    the MIN doc_id of the component (stable, order-independent)."""
+    a = np.asarray(pairs.column("a"), dtype=np.int64)
+    b = np.asarray(pairs.column("b"), dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(idx[x]), find(idx[y])
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    cluster = nodes[roots]          # min doc_id: union always keeps the
+    sizes = {}                      # smaller root, and nodes[] is sorted
+    for c in cluster.tolist():
+        sizes[c] = sizes.get(c, 0) + 1
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "cluster_size": pa.array(
+                [sizes[int(c)] for c in cluster], pa.int64()
+            ),
+        }
+    )
+
+
+def _clusters_propagate(pairs: pa.Table) -> pa.Table:
+    """Distributed min-label propagation: labels start as each node's own
+    id; each round every node takes the min of its label and its
+    neighbors' labels (edges ⋈ labels hash-join + groupby-Min) until the
+    global label sum stops falling (the sum is monotone non-increasing, so
+    one int64 per round is the only driver traffic). Rounds are bounded by
+    the component diameter — near-clique dup clusters converge in 2-3."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..functions.cluster import join_partitions
+    from ..functions.tables import stable_rename
+
+    a = pairs.column("a")
+    b = pairs.column("b")
+    edges_tbl = pa.table(
+        {
+            "node": pa.concat_arrays(
+                [pc.cast(c, pa.int64()).combine_chunks() for c in (a, b)]
+            ),
+            "dst": pa.concat_arrays(
+                [pc.cast(c, pa.int64()).combine_chunks() for c in (b, a)]
+            ),
+        }
+    )
+    parts = join_partitions(rows=edges_tbl.num_rows)
+    edges = rd.from_arrow(edges_tbl).materialize()
+    nodes = np.unique(
+        np.concatenate(
+            [np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)]
+        )
+    )
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array(nodes, pa.int64()),
+            }
+        )
+    )
+    prev_sum = int(nodes.sum())
+    for _ in range(DUP_CLUSTERS_MAX_ITER):
+        nbr = edges.join(
+            labels, join_type="inner", num_partitions=parts, on=("node",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": pc.cast(t.column("dst"), pa.int64()),
+                 "label": pc.cast(t.column("label"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(nbr)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(
+                stable_rename(["node", "label"], [pa.int64(), pa.int64()]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur_sum = int(
+            labels.sum("label") if labels.count() else 0
+        )
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            "dup_clusters: min-label propagation did not converge in "
+            f"{DUP_CLUSTERS_MAX_ITER} rounds"
+        )
+    sizes = labels.groupby("label").count()
+    out = labels.join(
+        sizes, join_type="inner", num_partitions=parts, on=("label",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("node"), pa.int64()),
+                "cluster_id": pc.cast(t.column("label"), pa.int64()),
+                "cluster_size": pc.cast(t.column("count()"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tbl = _collect_table(out)
+    order = pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
+    return tbl.take(order)
+
+
+def clusters_from_pairs(pairs: pa.Table) -> pa.Table:
+    """(doc_id, cluster_id, cluster_size) connected components of a dup-pair
+    edge list; cluster_id = MIN doc_id of the component. Threshold-gated
+    driver/distributed twins (equality-tested)."""
+    if pairs.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "cluster_size": pa.array([], pa.int64()),
+            }
+        )
+    if pairs.num_rows <= DUP_CLUSTERS_DRIVER_MAX_PAIRS:
+        return _clusters_driver(pairs)
+    return _clusters_propagate(pairs)
+
+
+def dup_clusters(
+    sf_dir: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    k: int = 3,
+    max_df: int = NGRAM_JACCARD_MAX_DF,
+) -> pa.Table:
+    """Duplicate CLUSTERS: connected components over the exact word-k-gram
+    Jaccard pair graph (``ngram_jaccard_pairs``). This is the step a
+    corpus-dedup pipeline runs after pair generation — keep one doc per
+    cluster, drop the rest — and transitivity means clusters are strictly
+    coarser than pairs (A~B, B~C groups A,B,C even when A!~C).
+
+    Reference parity: spacy_crfsuite has no corpus-dedup surface; this
+    extends the §2.8 dedup family the brief requires. Oracle: DuckDB
+    recursive-CTE reachability over the same pair CTEs."""
+    return clusters_from_pairs(
+        ngram_jaccard_pairs(sf_dir, threshold=threshold, k=k, max_df=max_df)
+    )

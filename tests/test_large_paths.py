@@ -193,3 +193,35 @@ def test_embedding_lsh_joined_equals_bucket(ray_session, monkeypatch):
     joined = pairs(True)
     assert bucket == joined
     assert len(bucket) > 0
+
+
+def test_dup_clusters_propagate_equals_union_find(ray_session, monkeypatch):
+    """Distributed min-label propagation must produce byte-identical
+    components to the driver union-find, including on chain-shaped
+    components (A~B~C without A~C) where transitivity matters."""
+    import pyarrow as pa
+
+    from spacy_crfsuite_ray.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    pairs = dedup.ngram_jaccard_pairs(sf)
+    assert pairs.num_rows > 0  # the fixture plants near-dups
+
+    def run():
+        df = dedup.clusters_from_pairs(pairs).to_pandas()
+        return (df.sort_values("doc_id").reset_index(drop=True))
+
+    driver = run()
+    monkeypatch.setattr(dedup, "DUP_CLUSTERS_DRIVER_MAX_PAIRS", 0)
+    propagated = run()
+    assert driver.equals(propagated)
+
+    # synthetic 4-chain + isolated pair: transitive closure, min labels
+    chain = pa.table({"a": pa.array([1, 2, 3, 10], pa.int64()),
+                      "b": pa.array([2, 3, 4, 11], pa.int64()),
+                      "jac_c6": pa.array([0] * 4, pa.int64())})
+    out = dedup.clusters_from_pairs(chain).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 10, 11]
+    assert out["cluster_id"].tolist() == [1, 1, 1, 1, 10, 10]
+    assert out["cluster_size"].tolist() == [4, 4, 4, 4, 2, 2]

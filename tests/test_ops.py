@@ -49,7 +49,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "purchase_attribution", "tfidf_top_terms", "embedding_centroids",
     "lang_source_rollup", "urgent_revenue_bloom", "first_shipment",
     "event_lag_delta", "order_priority_pivot", "distinct_users_by_type",
-    "chunk_dup_stats", "top_bigram_fraction",
+    "chunk_dup_stats", "top_bigram_fraction", "dup_clusters",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
