@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_top": text.ngram_top,
         "tfidf_top_terms": text.tfidf_top_terms,
         "lang_source_rollup": text.lang_source_rollup,
+        "stratified_sample": text.stratified_sample,
         # --- dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs_checked,
@@ -337,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_clusters": dedup.dup_clusters,
+        "dup_keep_best": dedup.dup_keep_best,
         # --- similarity search
         "ann_topk": ann.ann_topk,
         "ann_lsh": ann.ann_lsh_checked,
@@ -545,6 +547,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
         """,
+        # fixed-size per-language sample: k smallest md5(doc_id) per stratum
+        # (hash hex ordering is byte-identical across engines; no ties —
+        # md5 is injective over the distinct doc_ids in practice, and the
+        # doc_id tiebreak covers the theoretical collision)
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents)
+            WHERE rn <= 50
+        """,
         "ngram_top": r"""
             SELECT ng, CAST(count(*) AS BIGINT) AS n FROM (
                 SELECT unnest(list_transform(
@@ -636,6 +652,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id,
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM lab
+        """,
+        # keep-one policy per cluster: longest text wins, ties to the
+        # smallest doc_id (length() = utf8 char count on both engines)
+        "dup_keep_best": f"""
+            WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+            p AS (SELECT a, b FROM j WHERE jac >= 0.5),
+            edges AS (SELECT a AS u, b AS v FROM p
+                      UNION SELECT b AS u, a AS v FROM p),
+            reach(u, v) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.u, e2.v FROM reach r
+                JOIN edges e2 ON r.v = e2.u
+            ),
+            lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                    FROM reach GROUP BY u),
+            cand AS (
+                SELECT l.cluster_id, l.doc_id, length(d.text) AS n_chars,
+                       row_number() OVER (
+                           PARTITION BY l.cluster_id
+                           ORDER BY length(d.text) DESC, l.doc_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY l.cluster_id) AS csz
+                FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+            SELECT cluster_id, doc_id AS keep_doc_id,
+                   csz - 1 AS n_dropped
+            FROM cand WHERE rn = 1
         """,
         "ann_topk": """
             WITH q AS (

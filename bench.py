@@ -125,7 +125,8 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "lang_source_rollup", "urgent_revenue_bloom", "first_shipment",
             "event_lag_delta", "order_priority_pivot",
             "distinct_users_by_type", "chunk_dup_stats",
-            "top_bigram_fraction", "dup_clusters",
+            "top_bigram_fraction", "dup_clusters", "stratified_sample",
+            "dup_keep_best",
         ]:
             t0 = time.time()
             _consume(qs[name](SF_DIR))

@@ -1406,3 +1406,98 @@ def dup_clusters(
     return clusters_from_pairs(
         ngram_jaccard_pairs(sf_dir, threshold=threshold, k=k, max_df=max_df)
     )
+
+
+def dup_keep_best(
+    sf_dir: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    k: int = 3,
+    max_df: int = NGRAM_JACCARD_MAX_DF,
+) -> pa.Table:
+    """Representative selection: for every dup cluster, the doc to KEEP —
+    the longest text (chars), ties to the smallest doc_id — plus how many
+    dupes dropping the rest removes. This is the decision step of corpus
+    dedup (RefinedWeb/C4 keep-one policy) made explicit and oracle-checked.
+
+    100 TB shape: the cluster membership map is the SPARSE dedup output
+    (same size class as the pair list), so it broadcasts via ``ray.put``
+    and one memoized read per worker; the documents scan stays a streaming
+    column-pruned pass that ships only (cluster_id, doc_id, n_chars) for
+    member docs — text never leaves the scan. Per-batch combiner keeps one
+    candidate per (batch, cluster); the final per-cluster pick runs on that
+    survivor set."""
+    import pandas as pd
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+    from ..functions.cluster import coalesce_small
+
+    clusters = dup_clusters(sf_dir, threshold=threshold, k=k, max_df=max_df)
+    if clusters.num_rows == 0:
+        return pa.table(
+            {
+                "cluster_id": pa.array([], pa.int64()),
+                "keep_doc_id": pa.array([], pa.int64()),
+                "n_dropped": pa.array([], pa.int64()),
+            }
+        )
+    member = dict(
+        zip(clusters.column("doc_id").to_pylist(),
+            clusters.column("cluster_id").to_pylist())
+    )
+    ref = ray.put(member)
+
+    def lens(batch: pa.Table) -> pa.Table:
+        m = get_broadcast(ref)
+        ids = batch.column("doc_id").to_pylist()
+        keep = [i in m for i in ids]
+        sub = batch.filter(pa.array(keep, pa.bool_()))
+        sub_ids = sub.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "cluster_id": pa.array(
+                    [m[i] for i in sub_ids], pa.int64()
+                ),
+                "doc_id": pc.cast(sub.column("doc_id"), pa.int64()),
+                "n_chars": pc.cast(
+                    pc.utf8_length(sub.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True])
+            .groupby("cluster_id", sort=False).head(1)
+        )
+
+    sizes = dict(
+        zip(clusters.column("cluster_id").to_pylist(),
+            clusters.column("cluster_size").to_pylist())
+    )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True]).head(1)
+        cid = int(g["cluster_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "cluster_id": [cid],
+                "keep_doc_id": [int(g["doc_id"].iloc[0])],
+                "n_dropped": [int(sizes[cid]) - 1],
+            }
+        )
+
+    out = (
+        coalesce_small(
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(lens, batch_format="pyarrow"),
+            cap=2,
+        )
+        .groupby("cluster_id")
+        .map_groups(final, batch_format="pandas")
+    )
+    tbl = _collect_table(out)
+    order = pc.sort_indices(tbl, sort_keys=[("cluster_id", "ascending")])
+    return tbl.take(order)

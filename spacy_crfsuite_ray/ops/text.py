@@ -621,3 +621,55 @@ def top_bigram_fraction(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         frac, batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------- stratified sampling
+
+def stratified_sample(sf_dir: str, k: int = 50) -> "rd.Dataset":
+    """Fixed-size per-stratum sample: the k docs with the SMALLEST
+    md5(doc_id) per language. The balanced-eval-set cut — every stratum
+    contributes exactly k docs (or all of them if smaller) no matter how
+    skewed the language mix is, and the hash order makes the pick
+    deterministic, shard-stable and append-stable (a new doc displaces at
+    most one pick in its own stratum).
+
+    100 TB shape: per-batch combiner keeps k rows per (batch, lang) so the
+    shuffle carries O(blocks x langs x k) rows, never the corpus; the final
+    per-lang rank runs on that tiny survivor set. Oracle: row_number over
+    md5(CAST(doc_id AS VARCHAR)) — byte-identical hex ordering."""
+    import pandas as pd
+
+    from ..functions.hashing import text_md5
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "h": pa.array(
+                    [text_md5(str(i))
+                     for i in batch.column("doc_id").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["h", "doc_id"])
+            .groupby("lang", sort=False).head(k)
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["h", "doc_id"]).head(k)[["lang", "doc_id"]]
+
+    return (
+        coalesce_small(
+            _docs(sf_dir, ["doc_id", "lang"])
+            .map_batches(hash_rows, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pandas"),
+            cap=2,
+        )
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
