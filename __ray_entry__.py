@@ -112,6 +112,37 @@ def _kg_mentions(sf_dir: str):
      .drop_columns(["confidence"])
 
 
+def _kg_edge_src_dst(sf_dir: str):
+    """(src, dst) directed edge table of the KG built from this scale's
+    pages fixture — the input shape ops.graph analytics run on."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    edges = _read_out(_kg_output(sf_dir), "edges")
+    tbl = pa.concat_tables(
+        list(edges.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    return pa.table({"src": pc.cast(tbl.column("subj_id"), pa.string()),
+                     "dst": pc.cast(tbl.column("obj_id"), pa.string())})
+
+
+def _kg_pagerank(sf_dir: str):
+    """Entity importance over the constructed KG: fixed-point PageRank on
+    the subj→obj graph. Iterative/approximate by design → rows-only driver
+    check; driver and distributed twins are byte-identical by the
+    fixed-point construction (equality-tested in test_graph.py)."""
+    from spacy_crfsuite_ray.ops.graph import pagerank_from_edges
+
+    return pagerank_from_edges(_kg_edge_src_dst(sf_dir))
+
+
+def _kg_degree_stats(sf_dir: str):
+    """Degree distribution (in/out) of the constructed KG."""
+    from spacy_crfsuite_ray.ops.graph import degree_stats_from_edges
+
+    return degree_stats_from_edges(_kg_edge_src_dst(sf_dir))
+
+
 def _domain_stats(sf_dir: str):
     """Triples per source domain over the HOT-DOMAIN-SKEWED pages fixture,
     via the salted two-stage groupby (explicit skew handling demo)."""
@@ -215,6 +246,26 @@ def _domain_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """
 
 
+def _degree_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    # like _domain_stats_oracle: reads the pipeline's OWN written edges
+    # parquet (the kg_degree_stats callable runs/resumes the pipeline first,
+    # so the files exist by compare time)
+    n = _n_pages(sf_dir)
+    path = f"/tmp/scr_pages_n{n}/out_v2/edges/shard=all/*.parquet"
+    return f"""
+        WITH e AS (SELECT subj_id, obj_id FROM read_parquet('{path}')),
+        outd AS (SELECT count(*) AS degree FROM e GROUP BY subj_id),
+        ind AS (SELECT count(*) AS degree FROM e GROUP BY obj_id)
+        SELECT 'out' AS kind, degree,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM outd GROUP BY degree
+        UNION ALL
+        SELECT 'in' AS kind, degree,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM ind GROUP BY degree
+    """
+
+
 def _kg_oracle_prf(sf_dir: str):
     """North-rule gate, self-reported: Ray pipeline triples vs the
     sequential single-process oracle (and vs planted gold templates)."""
@@ -314,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _kg_edges,
         "kg_mentions": _kg_mentions,
         "kg_domain_stats": _domain_stats,
+        "kg_pagerank": _kg_pagerank,
+        "kg_degree_stats": _kg_degree_stats,
         "kg_oracle_prf": _kg_oracle_prf,
         "tagger_report": _tagger_report,
         "tagger_report_heldout": _tagger_report_heldout,
@@ -939,4 +992,5 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY doc_id
         """,
         "kg_domain_stats_sql": _domain_stats_oracle(),
+        "kg_degree_stats": _degree_stats_oracle(),
     }
