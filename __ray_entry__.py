@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag_delta": relational.event_lag_delta,
         "order_priority_pivot": relational.order_priority_pivot,
         "distinct_users_by_type": relational.distinct_users_by_type,
+        "event_value_quantiles": relational.event_value_quantiles,
         # --- sub-document dedup + repetition quality signals
         "chunk_dup_stats": dedup.chunk_dup_stats,
         "top_bigram_fraction": text.top_bigram_fraction,
@@ -946,6 +947,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # exact per-group percentiles over integer cents; percentile_disc
+        # picks an actual element (first value with cum count >= ceil(q*n)),
+        # mirroring the engine's histogram walk exactly — no interpolation
+        "event_value_quantiles": """
+            WITH s AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c2
+                FROM events)
+            SELECT event_type,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY v_c2)
+                       AS p50_c2,
+                   percentile_disc(0.9) WITHIN GROUP (ORDER BY v_c2)
+                       AS p90_c2
+            FROM s GROUP BY event_type
         """,
         # mirror of ops.dedup.chunk_dup_stats: literal-space split (boundary
         # empties included, like the engine), full 8-word chunks only, a

@@ -1106,3 +1106,72 @@ def distinct_users_by_type(sf_dir: str) -> "rd.Dataset":
         stable_rename(["event_type", "n_users"], [pa.string(), pa.int64()]),
         batch_format="pyarrow",
     )
+
+
+def event_value_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT per-group quantiles (p50/p90 of event value per event_type)
+    without ever co-locating a group: the distributed shape is a histogram
+    — values are 2-decimal fixed point, so a per-batch (event_type, v_c2)
+    count combiner + one tiny groupby yields the full distribution (types x
+    distinct cents, bounded regardless of row count), and the quantile is
+    read off the cumulative counts on the driver. This is how exact
+    percentiles survive 100 TB: the shuffle moves histogram rows, never
+    events, and no map_groups ever holds a whole group.
+
+    percentile_disc semantics (both engines): the FIRST value whose
+    cumulative count reaches ceil(q * n) — an actual data element, no
+    interpolation, no float summation order."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "v_c2": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64)
+                ),
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["event_type", "v_c2"]).aggregate([("n", "sum")])
+            .rename_columns(["event_type", "v_c2", "n"])
+        )
+
+    hist = (
+        read_parquet_nometa(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
+        .groupby(["event_type", "v_c2"])
+        .sum("n")
+    )
+    tbl = pa.concat_tables(
+        list(hist.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    types = tbl.column("event_type").to_pylist()
+    vals = np.asarray(tbl.column("v_c2"), dtype=np.int64)
+    cnts = np.asarray(tbl.column("sum(n)"), dtype=np.int64)
+    out_t, out_p50, out_p90 = [], [], []
+    for ty in sorted(set(types)):
+        m = np.array([t == ty for t in types])
+        v, c = vals[m], cnts[m]
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        picks = []
+        for q in (0.5, 0.9):
+            rank = int(np.ceil(q * n))
+            picks.append(int(v[np.searchsorted(cum, rank)]))
+        out_t.append(ty)
+        out_p50.append(picks[0])
+        out_p90.append(picks[1])
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "p50_c2": pa.array(out_p50, pa.int64()),
+            "p90_c2": pa.array(out_p90, pa.int64()),
+        }
+    )
