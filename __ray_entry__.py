@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_pivot": relational.order_priority_pivot,
         "distinct_users_by_type": relational.distinct_users_by_type,
         "event_value_quantiles": relational.event_value_quantiles,
+        "orders_upsert": relational.orders_upsert,
         # --- sub-document dedup + repetition quality signals
         "chunk_dup_stats": dedup.chunk_dup_stats,
         "top_bigram_fraction": text.top_bigram_fraction,
@@ -962,6 +963,18 @@ def oracle_sql() -> dict[str, str]:
                    percentile_disc(0.9) WITHIN GROUP (ORDER BY v_c2)
                        AS p90_c2
             FROM s GROUP BY event_type
+        """,
+        # CDC MERGE with a derived changelog: +10.00 update for keys % 7,
+        # delete for keys % 31 (delete wins); identical IEEE expression
+        # tree for the merged integer-cents price on both engines
+        "orders_upsert": """
+            SELECT o_orderkey,
+                   CAST(floor(CASE WHEN o_orderkey % 7 = 0
+                                   THEN (o_totalprice + 10.0) * 100 + 0.5
+                                   ELSE o_totalprice * 100 + 0.5 END)
+                        AS BIGINT) AS price_c2,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE 'K' END AS op
+            FROM orders WHERE o_orderkey % 31 <> 0
         """,
         # mirror of ops.dedup.chunk_dup_stats: literal-space split (boundary
         # empties included, like the engine), full 8-word chunks only, a

@@ -1175,3 +1175,138 @@ def event_value_quantiles(sf_dir: str) -> pa.Table:
             "p90_c2": pa.array(out_p90, pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------------ CDC MERGE/upsert
+
+# Below this many delta rows the changelog broadcasts (ray.put once, binary-
+# searched per batch); above it the kept/updated split runs as left_anti +
+# inner hash-joins. A CDC delta is normally orders of magnitude smaller than
+# the base table, so the broadcast path is the common case.
+UPSERT_BROADCAST_MAX_DELTA = 5_000_000
+
+
+def _orders_delta(sf_dir: str) -> "rd.Dataset":
+    """Deterministic derived changelog over orders (stands in for a real
+    CDC feed): UPDATE (+10.00 on the total) for keys % 7 == 0, DELETE for
+    keys % 31 == 0 — delete wins when both apply."""
+
+    def mk(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        price = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        upd, dele = k % 7 == 0, k % 31 == 0
+        m = upd | dele
+        newp = np.floor((price[m] + 10.0) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[m], pa.int64()),
+                "op": pa.array(
+                    np.where(dele[m], "D", "U").tolist(), pa.string()
+                ),
+                "new_price_c2": pa.array(newp, pa.int64()),
+            }
+        )
+
+    return read_parquet_nometa(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(mk, batch_format="pyarrow")
+
+
+def orders_upsert(sf_dir: str) -> "rd.Dataset":
+    """Distributed MERGE: apply a changelog (updates + deletes) to the
+    orders base in one streaming pass. Output = every surviving key with
+    its merged price and an op marker ('U' updated, 'K' kept); deleted
+    keys are gone. Broadcast/join twins are equality-tested
+    (test_large_paths.py)."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    delta = _orders_delta(sf_dir)
+    base = read_parquet_nometa(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    # gate on a free footer-metadata row estimate (keys are ~uniform, so the
+    # delta is ~(1/7 + 1/31) of the base) instead of executing the delta
+    # pipeline just to count it
+    n_base = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_base // 7 + n_base // 31 > UPSERT_BROADCAST_MAX_DELTA:
+        return _orders_upsert_joined(base, delta, sf_dir)
+
+    dt = pa.concat_tables(
+        list(delta.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    keys = np.asarray(dt.column("o_orderkey"), dtype=np.int64)
+    order = np.argsort(keys)
+    keys = keys[order]
+    is_del = np.asarray(
+        pc.equal(dt.column("op"), "D").combine_chunks()
+    )[order]
+    newp = np.asarray(dt.column("new_price_c2"), dtype=np.int64)[order]
+    ref = ray.put((keys, is_del, newp))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        dkeys, ddel, dnew = get_broadcast(ref)
+        k = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        price_c2 = np.floor(
+            np.asarray(batch.column("o_totalprice"), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        pos = np.searchsorted(dkeys, k)
+        pos_c = np.minimum(pos, max(len(dkeys) - 1, 0))
+        hit = (pos < len(dkeys)) & (dkeys[pos_c] == k) if len(dkeys) \
+            else np.zeros(len(k), bool)
+        upd = hit & ~ddel[pos_c]
+        keep = ~(hit & ddel[pos_c])
+        merged = np.where(upd, dnew[pos_c], price_c2)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep], pa.int64()),
+                "price_c2": pa.array(merged[keep], pa.int64()),
+                "op": pa.array(
+                    np.where(upd[keep], "U", "K").tolist(), pa.string()
+                ),
+            }
+        )
+
+    return base.map_batches(probe, batch_format="pyarrow")
+
+
+def _orders_upsert_joined(base, delta, sf_dir: str) -> "rd.Dataset":
+    """At-scale twin: kept = base LEFT ANTI delta; updated = base INNER
+    delta minus deletes. Byte-identical to the broadcast path by test."""
+    parts = _join_parts(f"{sf_dir}/orders.parquet")
+
+    def as_kept(batch: pa.Table) -> pa.Table:
+        price_c2 = np.floor(
+            np.asarray(batch.column("o_totalprice"), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch.column("o_orderkey"),
+                                      pa.int64()),
+                "price_c2": pa.array(price_c2, pa.int64()),
+                "op": pa.array(["K"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    kept = base.join(
+        delta, join_type="left_anti", num_partitions=parts,
+        on=("o_orderkey",),
+    ).map_batches(as_kept, batch_format="pyarrow")
+
+    def as_updated(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.not_equal(batch.column("op"), "D"))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(sub.column("o_orderkey"), pa.int64()),
+                "price_c2": pc.cast(sub.column("new_price_c2"), pa.int64()),
+                "op": pa.array(["U"] * sub.num_rows, pa.string()),
+            }
+        )
+
+    updated = base.join(
+        delta, join_type="inner", num_partitions=parts, on=("o_orderkey",),
+    ).map_batches(as_updated, batch_format="pyarrow")
+    return kept.union(updated)

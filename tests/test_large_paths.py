@@ -225,3 +225,22 @@ def test_dup_clusters_propagate_equals_union_find(ray_session, monkeypatch):
     assert out["doc_id"].tolist() == [1, 2, 3, 4, 10, 11]
     assert out["cluster_id"].tolist() == [1, 1, 1, 1, 10, 10]
     assert out["cluster_size"].tolist() == [4, 4, 4, 4, 2, 2]
+
+
+def test_orders_upsert_joined_equals_broadcast(ray_session, monkeypatch):
+    """The left_anti + inner join MERGE twin must produce the same merged
+    rows as the broadcast-changelog probe."""
+    from spacy_crfsuite_ray.ops import relational
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["o_orderkey", "price_c2", "op"]
+
+    def run():
+        df = relational.orders_upsert(sf).to_pandas()
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(relational, "UPSERT_BROADCAST_MAX_DELTA", 0)
+    joined = run()
+    assert broadcast.equals(joined)
+    assert (broadcast["op"] == "U").any() and (broadcast["op"] == "K").any()
