@@ -143,6 +143,22 @@ def _kg_degree_stats(sf_dir: str):
     return degree_stats_from_edges(_kg_edge_src_dst(sf_dir))
 
 
+def _kg_cooccurrence(sf_dir: str):
+    """Pages-of-co-mention counts for every unordered pair of distinct
+    entity mentions — the evidence-weighted KG-enrichment edge. Oracle
+    reads the pipeline's OWN tagged checkpoint parquet."""
+    import pyarrow.parquet as pq
+
+    from spacy_crfsuite_ray.ops.graph import cooccurrence_from_mentions
+    from spacy_crfsuite_ray.pipelines.kg import _kind_files
+
+    out = _kg_output(sf_dir)
+    rows = sum(
+        pq.read_metadata(f).num_rows for f in _kind_files(out, "e")
+    )
+    return cooccurrence_from_mentions(_kg_mentions(sf_dir), rows_hint=rows)
+
+
 def _domain_stats(sf_dir: str):
     """Triples per source domain over the HOT-DOMAIN-SKEWED pages fixture,
     via the salted two-stage groupby (explicit skew handling demo)."""
@@ -266,6 +282,30 @@ def _degree_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """
 
 
+def _cooccurrence_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    # reads the pipeline's OWN tagged checkpoint (kind=e partition files);
+    # DuckDB unnests the entities list<struct> that the engine's
+    # mentions_batch flattens with Arrow kernels
+    n = _n_pages(sf_dir)
+    path = (f"/tmp/scr_pages_n{n}/out_v2/tagged/"
+            "shard=*/kind=e/*.parquet")
+    return f"""
+        WITH r AS (
+            SELECT url, unnest(entities) AS ent
+            FROM read_parquet('{path}')),
+        m AS (
+            SELECT DISTINCT url,
+                   ent.entity || ':' || ent.value AS k
+            FROM r),
+        p AS (
+            SELECT ma.url, ma.k AS a, mb.k AS b
+            FROM m ma JOIN m mb
+              ON ma.url = mb.url AND ma.k < mb.k)
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_pages
+        FROM p GROUP BY a, b
+    """
+
+
 def _kg_oracle_prf(sf_dir: str):
     """North-rule gate, self-reported: Ray pipeline triples vs the
     sequential single-process oracle (and vs planted gold templates)."""
@@ -367,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_domain_stats": _domain_stats,
         "kg_pagerank": _kg_pagerank,
         "kg_degree_stats": _kg_degree_stats,
+        "kg_cooccurrence": _kg_cooccurrence,
         "kg_oracle_prf": _kg_oracle_prf,
         "tagger_report": _tagger_report,
         "tagger_report_heldout": _tagger_report_heldout,
@@ -1022,4 +1063,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_domain_stats_sql": _domain_stats_oracle(),
         "kg_degree_stats": _degree_stats_oracle(),
+        "kg_cooccurrence": _cooccurrence_oracle(),
     }

@@ -127,7 +127,7 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "distinct_users_by_type", "chunk_dup_stats",
             "top_bigram_fraction", "dup_clusters", "stratified_sample",
             "dup_keep_best", "kg_pagerank", "kg_degree_stats",
-            "event_value_quantiles", "orders_upsert",
+            "event_value_quantiles", "orders_upsert", "kg_cooccurrence",
         ]:
             t0 = time.time()
             _consume(qs[name](SF_DIR))

@@ -194,3 +194,79 @@ def degree_stats_from_edges(tbl: pa.Table) -> pa.Table:
         res, sort_keys=[("kind", "ascending"), ("degree", "ascending")]
     )
     return res.take(order).select(["kind", "degree", "n_nodes"])
+
+
+def cooccurrence_from_mentions(ds, rows_hint: int | None = None) -> "object":
+    """Entity co-occurrence (KG edge weighting): for every unordered pair of
+    distinct entity mentions ("type:value") on the same page, the number of
+    pages where they co-occur. The standard evidence-weighted
+    KG-enrichment edge, computed without an all-pairs pass:
+
+    100 TB shape: mention rows dedupe per (url, key) inside each batch (one
+    Arrow group_by), ONE url-key shuffle co-locates a page's mentions
+    (pages have tiny mention sets), pairs explode inside the group, and a
+    per-batch pair-count combiner feeds the final (a, b) groupby — raw
+    sentence text never enters this pipeline."""
+    import pandas as pd
+
+    from ..functions.cluster import coalesce_small
+    from ..functions.tables import stable_rename
+
+    def keys(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("url", pa.string()), ("k", pa.string())]
+            ).empty_table()
+        k = pc.binary_join_element_wise(
+            pc.cast(batch.column("type"), pa.string()),
+            pc.cast(batch.column("value"), pa.string()),
+            ":",
+        )
+        return (
+            pa.table({"url": batch.column("url"), "k": k})
+            .group_by(["url", "k"]).aggregate([])
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ks = np.unique(group["k"].to_numpy())
+        ai, bi = np.triu_indices(len(ks), k=1)
+        return pd.DataFrame({"a": ks[ai], "b": ks[bi]})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("a", pa.string()), ("b", pa.string()),
+                 ("n", pa.int64())]
+            ).empty_table()
+        t = batch.append_column(
+            "n", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        return t.group_by(["a", "b"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["a", "b", "n"])
+
+    from ..functions.cluster import join_partitions
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow")
+    # the mention stream is far smaller than its source block count (it came
+    # out of a wide read); coalescing to a row-scaled partition count before
+    # the url shuffle keeps sort task fan-out proportional to DATA, not to
+    # the upstream read's block count (fixture-scale: 64 sort partitions ->
+    # 1, total wall 10.6s -> 7.7s). rows_hint comes free from parquet
+    # footers.
+    keyed = keyed.repartition(join_partitions(cap=16, rows=rows_hint))
+    return (
+        coalesce_small(
+            keyed.groupby("url")
+            .map_groups(pairs, batch_format="pandas")
+            .map_batches(partial, batch_format="pyarrow"),
+            cap=2,
+        )
+        .groupby(["a", "b"])
+        .sum("n")
+        .map_batches(
+            stable_rename(["a", "b", "n_pages"],
+                          [pa.string(), pa.string(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+    )

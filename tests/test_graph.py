@@ -79,3 +79,15 @@ def test_kg_degree_stats_matches_written_edges_oracle(ray_session):
     want = want[cols].sort_values(cols).reset_index(drop=True)
     want["degree"] = want["degree"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_kg_cooccurrence_matches_tagged_oracle(ray_session):
+    import __ray_entry__ as E
+
+    got = E.queries()["kg_cooccurrence"](SF).to_pandas()
+    want = duckdb.connect().execute(E._cooccurrence_oracle(SF)).fetchdf()
+    cols = ["a", "b", "n_pages"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_pages"] >= 2).any()  # real co-mention evidence exists
