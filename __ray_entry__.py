@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_clusters": dedup.dup_clusters,
         "dup_keep_best": dedup.dup_keep_best,
+        "training_set": dedup.training_set,
         # --- similarity search
         "ann_topk": ann.ann_topk,
         "ann_lsh": ann.ann_lsh_checked,
@@ -556,15 +557,15 @@ def _lang_id_sql() -> str:
     """
 
 
-# Shared CTE chain defining the exact word-3-gram Jaccard pair graph over
-# `documents` (see ops.dedup.ngram_jaccard_pairs); `j` holds (a, b, jac).
-# Reused verbatim by ngram_jaccard_pairs and dup_clusters so the two oracles
-# cannot drift apart.
-_NGRAM_PAIRS_CTES = r"""w AS (
+# Shared CTE chain defining the exact word-3-gram Jaccard pair graph over a
+# source relation (see ops.dedup.ngram_jaccard_pairs); `j` holds (a, b, jac).
+# Reused verbatim by ngram_jaccard_pairs / dup_clusters / dup_keep_best /
+# training_set so the oracles cannot drift apart.
+_NGRAM_PAIRS_TMPL = r"""w AS (
                 SELECT doc_id,
                        list_filter(regexp_split_to_array(text, '\s+'),
                                    x -> x <> '') AS w
-                FROM documents),
+                FROM __SRC__),
             g AS (
                 SELECT doc_id,
                        CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
@@ -592,6 +593,13 @@ _NGRAM_PAIRS_CTES = r"""w AS (
                 FROM co
                 JOIN sz sa ON sa.doc_id = a
                 JOIN sz sb ON sb.doc_id = b)"""
+
+
+def _ngram_pairs_ctes(src: str = "documents") -> str:
+    return _NGRAM_PAIRS_TMPL.replace("__SRC__", src)
+
+
+_NGRAM_PAIRS_CTES = _ngram_pairs_ctes()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -775,6 +783,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, doc_id AS keep_doc_id,
                    csz - 1 AS n_dropped
             FROM cand WHERE rn = 1
+        """,
+        # the full flagship chain in ONE query: quality gate -> exact
+        # n-gram-Jaccard clusters over the survivors -> keep-one (longest)
+        # -> stratified per-language hash sample
+        "training_set": f"""
+            WITH RECURSIVE
+            gated AS (
+                SELECT doc_id, lang, text FROM (
+                    SELECT doc_id, lang, text,
+                           length(text) AS n_chars,
+                           len(regexp_extract_all(text, {TOKEN_SQL}))
+                               AS n_tokens
+                    FROM documents)
+                WHERE n_chars >= 150 AND n_chars <= 1000
+                  AND n_tokens >= 30),
+            {_ngram_pairs_ctes("gated")},
+            p AS (SELECT a, b FROM j WHERE jac >= 0.5),
+            edges AS (SELECT a AS u, b AS v FROM p
+                      UNION SELECT b AS u, a AS v FROM p),
+            reach(u, v) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.u, e2.v FROM reach r
+                JOIN edges e2 ON r.v = e2.u
+            ),
+            lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                    FROM reach GROUP BY u),
+            cand AS (
+                SELECT l.cluster_id, l.doc_id,
+                       row_number() OVER (
+                           PARTITION BY l.cluster_id
+                           ORDER BY length(d.text) DESC, l.doc_id
+                       ) AS rn
+                FROM lab l JOIN gated d ON d.doc_id = l.doc_id),
+            dropped AS (SELECT doc_id FROM cand WHERE rn > 1),
+            surv AS (
+                SELECT g.lang, g.doc_id FROM gated g
+                WHERE g.doc_id NOT IN (SELECT doc_id FROM dropped))
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn2
+                FROM surv)
+            WHERE rn2 <= 100
         """,
         "ann_topk": """
             WITH q AS (

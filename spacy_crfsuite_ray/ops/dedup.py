@@ -928,6 +928,14 @@ def ngram_jaccard_pairs(
     ex = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _ngram_explode(k), batch_format="pyarrow"
     )
+    return _ngram_pairs_from_exploded(ex, threshold, max_df, n_docs)
+
+
+def _ngram_pairs_from_exploded(ex, threshold: float, max_df: int,
+                               n_docs: int) -> pa.Table:
+    """Threshold-gated pair generation over an already-exploded (sh,
+    doc_id, sz) stream — shared by ``ngram_jaccard_pairs`` (whole corpus)
+    and ``training_set`` (quality-gated subset)."""
     if n_docs > NGRAM_JACCARD_DRIVER_MAX_DOCS:
         return _ngram_jaccard_joined(ex, threshold, max_df, n_docs)
 
@@ -1501,3 +1509,143 @@ def dup_keep_best(
     tbl = _collect_table(out)
     order = pc.sort_indices(tbl, sort_keys=[("cluster_id", "ascending")])
     return tbl.take(order)
+
+
+# -------------------------------------------------- flagship training set
+
+def training_set(
+    sf_dir: str,
+    k: int = 100,
+    threshold: float = DEFAULT_THRESHOLD,
+    ngram_k: int = 3,
+    max_df: int = NGRAM_JACCARD_MAX_DF,
+) -> "rd.Dataset":
+    """END-TO-END training-set construction — the pipeline every LLM corpus
+    runs, composed from this repo's primitives and covered by ONE
+    end-to-end SQL oracle:
+
+      1. quality gate (length + token-count bounds, Arrow kernels)
+      2. EXACT word-n-gram Jaccard near-dup pairs over the survivors
+         (inverted index — no all-pairs pass)
+      3. connected components + keep-one-per-cluster (longest text)
+      4. stratified per-language sample (k smallest md5(doc_id))
+
+    100 TB shape: the gate is a streaming filter; pair generation shuffles
+    df-bounded shingle rows; clusters/keepers are the SPARSE dedup output
+    (broadcast, like ``dup_keep_best``); the final sample is a per-batch
+    top-k combiner. Document text never leaves the column-pruned scans."""
+    import pandas as pd
+    import ray
+
+    from ..core.tokenizer import TOKEN_PATTERN
+    from ..functions.broadcast import get_broadcast
+    from ..functions.cluster import coalesce_small
+    from ..functions.hashing import text_md5
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(
+            pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64()
+        )
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(n_chars, 150),
+                    pc.less_equal(n_chars, 1000)),
+            pc.greater_equal(n_tokens, 30),
+        )
+        return batch.filter(mask)
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        gate, batch_format="pyarrow"
+    ).materialize()
+    n_docs = docs.count()
+
+    ex = docs.drop_columns(["lang"]).map_batches(
+        _ngram_explode(ngram_k), batch_format="pyarrow"
+    )
+    pairs = _ngram_pairs_from_exploded(ex, threshold, max_df, n_docs)
+    clusters = clusters_from_pairs(pairs)
+
+    # keepers: longest gated text per cluster, ties to min doc_id. The
+    # member set is sparse dedup output → broadcast probe over the already-
+    # materialized gated stream, tiny (cluster_id, doc_id, n_chars) rows
+    # back to the driver.
+    drop: set = set()
+    if clusters.num_rows:
+        member = dict(
+            zip(clusters.column("doc_id").to_pylist(),
+                clusters.column("cluster_id").to_pylist())
+        )
+        mref = ray.put(member)
+
+        def lens(batch: pa.Table) -> pa.Table:
+            m = get_broadcast(mref)
+            ids = batch.column("doc_id").to_pylist()
+            keep = [i in m for i in ids]
+            sub = batch.filter(pa.array(keep, pa.bool_()))
+            sub_ids = sub.column("doc_id").to_pylist()
+            return pa.table(
+                {
+                    "cluster_id": pa.array(
+                        [m[i] for i in sub_ids], pa.int64()
+                    ),
+                    "doc_id": pc.cast(sub.column("doc_id"), pa.int64()),
+                    "n_chars": pc.cast(
+                        pc.utf8_length(sub.column("text")), pa.int64()
+                    ),
+                }
+            )
+
+        mem = _collect_table(
+            docs.map_batches(lens, batch_format="pyarrow")
+        ).to_pandas()
+        keepers = (
+            mem.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("cluster_id", sort=False).head(1)["doc_id"]
+        )
+        drop = set(mem["doc_id"]) - set(keepers)
+    dref = ray.put(np.array(sorted(drop), dtype=np.int64))
+
+    def surv(batch: pa.Table) -> pa.Table:
+        d = get_broadcast(dref)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        if len(d):
+            pos = np.searchsorted(d, ids)
+            pos_c = np.minimum(pos, len(d) - 1)
+            keep = ~((pos < len(d)) & (d[pos_c] == ids))
+        else:
+            keep = np.ones(len(ids), bool)
+        sub_ids = ids[keep]
+        return pa.table(
+            {
+                "lang": pc.cast(batch.column("lang"), pa.string()).filter(
+                    pa.array(keep, pa.bool_())
+                ),
+                "doc_id": pa.array(sub_ids, pa.int64()),
+                "h": pa.array(
+                    [text_md5(str(i)) for i in sub_ids.tolist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["h", "doc_id"])
+            .groupby("lang", sort=False).head(k)
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["h", "doc_id"]).head(k)[
+            ["lang", "doc_id"]
+        ]
+
+    return (
+        coalesce_small(
+            docs.map_batches(surv, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pandas"),
+            cap=2,
+        )
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
