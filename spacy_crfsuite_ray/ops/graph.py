@@ -196,41 +196,89 @@ def degree_stats_from_edges(tbl: pa.Table) -> pa.Table:
     return res.take(order).select(["kind", "degree", "n_nodes"])
 
 
-def cooccurrence_from_mentions(ds, rows_hint: int | None = None) -> "object":
-    """Entity co-occurrence (KG edge weighting): for every unordered pair of
-    distinct entity mentions ("type:value") on the same page, the number of
-    pages where they co-occur. The standard evidence-weighted
-    KG-enrichment edge, computed without an all-pairs pass:
+# Below this many tagged-sentence rows the pair computation runs on the
+# driver over the combiner-shrunk (url, key) stream (all numpy/Arrow — the
+# distributed twin's two shuffles + join cost ~12s of fixed overhead on data
+# this small); above it the self-join path runs. Twins equality-tested.
+COOC_DRIVER_MAX_ROWS = 2_000_000
 
-    100 TB shape: mention rows dedupe per (url, key) inside each batch (one
-    Arrow group_by), ONE url-key shuffle co-locates a page's mentions
-    (pages have tiny mention sets), pairs explode inside the group, and a
-    per-batch pair-count combiner feeds the final (a, b) groupby — raw
-    sentence text never enters this pipeline."""
-    import pandas as pd
 
-    from ..functions.cluster import coalesce_small
+def _cooc_keys(batch: pa.Table) -> pa.Table:
+    """Mention rows → batch-local distinct (url, "type:value") pairs."""
+    if batch.num_rows == 0:
+        return pa.schema(
+            [("url", pa.string()), ("k", pa.string())]
+        ).empty_table()
+    k = pc.binary_join_element_wise(
+        pc.cast(batch.column("type"), pa.string()),
+        pc.cast(batch.column("value"), pa.string()),
+        ":",
+    )
+    return (
+        pa.table({"url": batch.column("url"), "k": k})
+        .group_by(["url", "k"]).aggregate([])
+    )
+
+
+def _cooc_result(a: np.ndarray, b: np.ndarray, n: np.ndarray) -> pa.Table:
+    return pa.table(
+        {"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
+         "n_pages": pa.array(n, pa.int64())}
+    )
+
+
+def _cooc_driver(keyed) -> pa.Table:
+    """Vectorized driver twin: global distinct via np.unique over (url
+    rank, key rank), runs grouped by page, and per-run-LENGTH batched
+    triu pair explosion (one broadcasted gather per distinct mention-set
+    size — no per-page Python loop)."""
+    tbl = pa.concat_tables(
+        list(keyed.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    if tbl.num_rows == 0:
+        return _cooc_result(*(np.array([], dtype=object),) * 2,
+                            np.array([], dtype=np.int64))
+    urls = np.asarray(tbl.column("url"))
+    ks = np.asarray(tbl.column("k"))
+    uniq_u, ur = np.unique(urls, return_inverse=True)
+    uniq_k, kr = np.unique(ks, return_inverse=True)
+    # global distinct (url, key)
+    codes = ur.astype(np.int64) * len(uniq_k) + kr
+    codes = np.unique(codes)
+    ur, kr = codes // len(uniq_k), codes % len(uniq_k)
+    # codes are sorted → runs are contiguous and k-ranks ascend within a run
+    starts = np.concatenate([[0], np.nonzero(np.diff(ur))[0] + 1])
+    lens = np.diff(np.concatenate([starts, [len(ur)]]))
+    pair_a, pair_b = [], []
+    for m in np.unique(lens):
+        if m < 2:
+            continue
+        s0 = starts[lens == m]
+        ai, bi = np.triu_indices(int(m), k=1)
+        pair_a.append(kr[(s0[:, None] + ai[None, :])].ravel())
+        pair_b.append(kr[(s0[:, None] + bi[None, :])].ravel())
+    if not pair_a:
+        return _cooc_result(*(np.array([], dtype=object),) * 2,
+                            np.array([], dtype=np.int64))
+    pa_, pb_ = np.concatenate(pair_a), np.concatenate(pair_b)
+    pcodes, counts = np.unique(
+        pa_ * len(uniq_k) + pb_, return_counts=True
+    )
+    return _cooc_result(
+        uniq_k[pcodes // len(uniq_k)], uniq_k[pcodes % len(uniq_k)],
+        counts.astype(np.int64),
+    )
+
+
+def _cooc_joined(keyed, rows_hint: int | None):
+    """At-scale twin: one groupby finishes the global (url, key) distinct,
+    pairs explode as a hash SELF-JOIN on url (bounded: per-page mention
+    sets are tiny), a per-batch pair-count combiner feeds the final (a, b)
+    groupby — no Python ever touches a row."""
+    from ray.data.aggregate import Count
+
+    from ..functions.cluster import coalesce_small, join_partitions
     from ..functions.tables import stable_rename
-
-    def keys(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.schema(
-                [("url", pa.string()), ("k", pa.string())]
-            ).empty_table()
-        k = pc.binary_join_element_wise(
-            pc.cast(batch.column("type"), pa.string()),
-            pc.cast(batch.column("value"), pa.string()),
-            ":",
-        )
-        return (
-            pa.table({"url": batch.column("url"), "k": k})
-            .group_by(["url", "k"]).aggregate([])
-        )
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ks = np.unique(group["k"].to_numpy())
-        ai, bi = np.triu_indices(len(ks), k=1)
-        return pd.DataFrame({"a": ks[ai], "b": ks[bi]})
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -245,20 +293,36 @@ def cooccurrence_from_mentions(ds, rows_hint: int | None = None) -> "object":
             [("n", "sum")]
         ).rename_columns(["a", "b", "n"])
 
-    from ..functions.cluster import join_partitions
+    # rows_hint counts tagged SENTENCES; the keyed stream holds several
+    # mention keys per sentence and shuffles strings, so scale the estimate
+    # up (x8) before row-based partition sizing
+    parts = join_partitions(
+        cap=32, rows=(rows_hint * 8 if rows_hint else None)
+    )
+    m = (
+        keyed.repartition(parts)
+        .groupby(["url", "k"])
+        .aggregate(Count())
+        .map_batches(
+            lambda t: (pa.schema([("url", pa.string()),
+                                  ("k", pa.string())]).empty_table()
+                       if t.num_columns == 0
+                       else t.select(["url", "k"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    j = m.join(m, join_type="inner", num_partitions=parts, on=("url",),
+               left_suffix="_a", right_suffix="_b")
 
-    keyed = ds.map_batches(keys, batch_format="pyarrow")
-    # the mention stream is far smaller than its source block count (it came
-    # out of a wide read); coalescing to a row-scaled partition count before
-    # the url shuffle keeps sort task fan-out proportional to DATA, not to
-    # the upstream read's block count (fixture-scale: 64 sort partitions ->
-    # 1, total wall 10.6s -> 7.7s). rows_hint comes free from parquet
-    # footers.
-    keyed = keyed.repartition(join_partitions(cap=16, rows=rows_hint))
+    def ordered(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("k_a"), batch.column("k_b"))
+        sub = batch.filter(keep)
+        return pa.table({"a": sub.column("k_a"), "b": sub.column("k_b")})
+
     return (
         coalesce_small(
-            keyed.groupby("url")
-            .map_groups(pairs, batch_format="pandas")
+            j.map_batches(ordered, batch_format="pyarrow")
             .map_batches(partial, batch_format="pyarrow"),
             cap=2,
         )
@@ -270,3 +334,16 @@ def cooccurrence_from_mentions(ds, rows_hint: int | None = None) -> "object":
             batch_format="pyarrow",
         )
     )
+
+
+def cooccurrence_from_mentions(ds, rows_hint: int | None = None):
+    """Entity co-occurrence (KG edge weighting): for every unordered pair of
+    distinct entity mentions ("type:value") on the same page, the number of
+    pages where they co-occur — the standard evidence-weighted
+    KG-enrichment edge, computed without an all-pairs pass. Threshold-gated
+    driver/distributed twins (equality-tested); raw sentence text never
+    enters this pipeline."""
+    keyed = ds.map_batches(_cooc_keys, batch_format="pyarrow")
+    if rows_hint is not None and rows_hint <= COOC_DRIVER_MAX_ROWS:
+        return _cooc_driver(keyed)
+    return _cooc_joined(keyed, rows_hint)

@@ -91,3 +91,22 @@ def test_kg_cooccurrence_matches_tagged_oracle(ray_session):
     want = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["n_pages"] >= 2).any()  # real co-mention evidence exists
+
+
+def test_cooccurrence_joined_equals_driver(ray_session, monkeypatch):
+    """The self-join distributed twin must match the vectorized driver
+    twin exactly."""
+    import __ray_entry__ as E
+    from spacy_crfsuite_ray.ops import graph
+
+    cols = ["a", "b", "n_pages"]
+
+    def run():
+        df = E.queries()["kg_cooccurrence"](SF).to_pandas()
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    driver = run()
+    monkeypatch.setattr(graph, "COOC_DRIVER_MAX_ROWS", -1)
+    joined = run()
+    assert driver.equals(joined)
+    assert len(driver) > 0
