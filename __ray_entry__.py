@@ -114,13 +114,22 @@ def _kg_mentions(sf_dir: str):
 
 def _kg_edge_src_dst(sf_dir: str):
     """(src, dst) directed edge table of the KG built from this scale's
-    pages fixture — the input shape ops.graph analytics run on."""
+    pages fixture — the input shape ops.graph analytics run on. The edge
+    list is aggregated pipeline OUTPUT (orders of magnitude smaller than
+    the corpus), so it reads directly via pyarrow — a streaming Dataset
+    read cost 6.8s of planning/stream overhead for a 16k-row table."""
+    import glob as _glob
+
     import pyarrow as pa
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
-    edges = _read_out(_kg_output(sf_dir), "edges")
+    out = _kg_output(sf_dir)
+    files = sorted(
+        _glob.glob(os.path.join(out, "edges", "shard=all", "*.parquet"))
+    )
     tbl = pa.concat_tables(
-        list(edges.iter_batches(batch_format="pyarrow", batch_size=None))
+        pq.read_table(f, columns=["subj_id", "obj_id"]) for f in files
     )
     return pa.table({"src": pc.cast(tbl.column("subj_id"), pa.string()),
                      "dst": pc.cast(tbl.column("obj_id"), pa.string())})
