@@ -1108,6 +1108,13 @@ def distinct_users_by_type(sf_dir: str) -> "rd.Dataset":
     )
 
 
+# Below this many event rows the histogram merge runs on the driver (the
+# per-batch combiner output is collected and folded with one Arrow group_by
+# -- no shuffle); above it the distributed (event_type, v_c2) groupby runs.
+# Twins equality-tested.
+EVENT_QUANTILE_DRIVER_MAX_ROWS = 20_000_000
+
+
 def event_value_quantiles(sf_dir: str) -> pa.Table:
     """EXACT per-group quantiles (p50/p90 of event value per event_type)
     without ever co-locating a group: the distributed shape is a histogram
@@ -1138,18 +1145,34 @@ def event_value_quantiles(sf_dir: str) -> pa.Table:
             .rename_columns(["event_type", "v_c2", "n"])
         )
 
-    hist = (
-        read_parquet_nometa(
-            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ds = read_parquet_nometa(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(partial, batch_format="pyarrow")
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    if n_events <= EVENT_QUANTILE_DRIVER_MAX_ROWS:
+        # driver twin: the per-batch partials are already histograms; one
+        # Arrow group_by merges them — no shuffle. Values are near-unique
+        # within a fixture-sized batch, so the combiner barely shrinks the
+        # stream and the distributed groupby would move ~a row per event
+        # for multi-second fixed shuffle cost (measured 12.1s -> 1.4s).
+        tbl = (
+            pa.concat_tables(
+                list(ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=None))
+            )
+            .group_by(["event_type", "v_c2"]).aggregate([("n", "sum")])
+            .rename_columns(["event_type", "v_c2", "sum(n)"])
         )
-        .map_batches(partial, batch_format="pyarrow")
-        .repartition(_small_parts_cap(cap=2))
-        .groupby(["event_type", "v_c2"])
-        .sum("n")
-    )
-    tbl = pa.concat_tables(
-        list(hist.iter_batches(batch_format="pyarrow", batch_size=None))
-    )
+    else:
+        hist = (
+            ds.repartition(_small_parts_cap(cap=2))
+            .groupby(["event_type", "v_c2"])
+            .sum("n")
+        )
+        tbl = pa.concat_tables(
+            list(hist.iter_batches(batch_format="pyarrow",
+                                   batch_size=None))
+        )
     types = tbl.column("event_type").to_pylist()
     vals = np.asarray(tbl.column("v_c2"), dtype=np.int64)
     cnts = np.asarray(tbl.column("sum(n)"), dtype=np.int64)

@@ -244,3 +244,14 @@ def test_orders_upsert_joined_equals_broadcast(ray_session, monkeypatch):
     joined = run()
     assert broadcast.equals(joined)
     assert (broadcast["op"] == "U").any() and (broadcast["op"] == "K").any()
+
+
+def test_event_quantiles_distributed_equals_driver(ray_session, monkeypatch):
+    from spacy_crfsuite_ray.ops import relational
+
+    sf = "/root/testdata/sf0.001"
+    driver = relational.event_value_quantiles(sf)
+    monkeypatch.setattr(
+        relational, "EVENT_QUANTILE_DRIVER_MAX_ROWS", -1
+    )
+    assert relational.event_value_quantiles(sf).equals(driver)
