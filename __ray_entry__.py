@@ -156,16 +156,22 @@ def _kg_cooccurrence(sf_dir: str):
     """Pages-of-co-mention counts for every unordered pair of distinct
     entity mentions — the evidence-weighted KG-enrichment edge. Oracle
     reads the pipeline's OWN tagged checkpoint parquet."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from spacy_crfsuite_ray.ops.graph import cooccurrence_from_mentions
     from spacy_crfsuite_ray.pipelines.kg import _kind_files
 
     out = _kg_output(sf_dir)
+    mentions = _kg_mentions(sf_dir)
+    if isinstance(mentions, pa.Table):  # schema-stable empty fallback
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "n_pages": pa.array([], pa.int64())})
     rows = sum(
         pq.read_metadata(f).num_rows for f in _kind_files(out, "e")
     )
-    return cooccurrence_from_mentions(_kg_mentions(sf_dir), rows_hint=rows)
+    return cooccurrence_from_mentions(mentions, rows_hint=rows)
 
 
 def _domain_stats(sf_dir: str):

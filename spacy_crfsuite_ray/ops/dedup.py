@@ -211,11 +211,23 @@ PAIRGEN_DRIVER_MAX_ROWS = 5_000_000
 _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 
 
-def _collect_table(ds) -> pa.Table:
-    return pa.concat_tables(
+def _collect_table(ds, empty_schema: "pa.Schema | None" = None) -> pa.Table:
+    """Collect a Dataset to one driver table. A stream whose blocks are ALL
+    empty yields ZERO batches from iter_batches, and ``pa.concat_tables([])``
+    raises — pass ``empty_schema`` to get a typed empty table instead
+    (callers that structurally cannot produce an empty stream may omit
+    it)."""
+    tables = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
+    ]
+    if not tables:
+        if empty_schema is not None:
+            return empty_schema.empty_table()
+        raise ValueError(
+            "empty stream collected without an empty_schema fallback"
+        )
+    return pa.concat_tables(tables)
 
 
 def _band_group_slices(band_col: np.ndarray):
@@ -939,8 +951,12 @@ def _ngram_pairs_from_exploded(ex, threshold: float, max_df: int,
     if n_docs > NGRAM_JACCARD_DRIVER_MAX_DOCS:
         return _ngram_jaccard_joined(ex, threshold, max_df, n_docs)
 
-    tbl = pa.concat_tables(
-        list(ex.iter_batches(batch_format="pyarrow", batch_size=None))
+    tbl = _collect_table(
+        ex,
+        empty_schema=pa.schema(
+            [("sh", pa.string()), ("doc_id", pa.int64()),
+             ("sz", pa.int64())]
+        ),
     )
     if tbl.num_rows == 0:
         return _jac_c6_table(*(np.array([], dtype=np.int64),) * 5, threshold)
@@ -1050,8 +1066,12 @@ def _ngram_jaccard_joined(ex, threshold: float, max_df: int, n_docs: int):
         )
 
     out = agg.map_batches(finish, batch_format="pyarrow")
-    return pa.concat_tables(
-        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    return _collect_table(
+        out,
+        empty_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("jac_c6", pa.int64())]
+        ),
     )
 
 
@@ -1114,12 +1134,12 @@ def minhash_dedup_pairs_checked(
     much the banding missed, not just that the query ran."""
     import pyarrow.parquet as pq
 
-    got_tbl = pa.concat_tables(
-        list(
-            minhash_dedup_pairs(sf_dir, threshold=threshold).iter_batches(
-                batch_format="pyarrow", batch_size=None
-            )
-        )
+    got_tbl = _collect_table(
+        minhash_dedup_pairs(sf_dir, threshold=threshold),
+        empty_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("jaccard", pa.float64())]
+        ),
     )
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     if n_docs <= MINHASH_RECALL_MAX_DOCS:
@@ -1500,13 +1520,20 @@ def dup_keep_best(
     out = (
         coalesce_small(
             _docs(sf_dir, ["doc_id", "text"])
-            .map_batches(lens, batch_format="pyarrow"),
+            .map_batches(lens, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pandas"),
             cap=2,
         )
         .groupby("cluster_id")
         .map_groups(final, batch_format="pandas")
     )
-    tbl = _collect_table(out)
+    tbl = _collect_table(
+        out,
+        empty_schema=pa.schema(
+            [("cluster_id", pa.int64()), ("keep_doc_id", pa.int64()),
+             ("n_dropped", pa.int64())]
+        ),
+    )
     order = pc.sort_indices(tbl, sort_keys=[("cluster_id", "ascending")])
     return tbl.take(order)
 
@@ -1597,7 +1624,11 @@ def training_set(
             )
 
         mem = _collect_table(
-            docs.map_batches(lens, batch_format="pyarrow")
+            docs.map_batches(lens, batch_format="pyarrow"),
+            empty_schema=pa.schema(
+                [("cluster_id", pa.int64()), ("doc_id", pa.int64()),
+                 ("n_chars", pa.int64())]
+            ),
         ).to_pandas()
         keepers = (
             mem.sort_values(["n_chars", "doc_id"], ascending=[False, True])

@@ -232,9 +232,12 @@ def _cooc_driver(keyed) -> pa.Table:
     rank, key rank), runs grouped by page, and per-run-LENGTH batched
     triu pair explosion (one broadcasted gather per distinct mention-set
     size — no per-page Python loop)."""
-    tbl = pa.concat_tables(
-        list(keyed.iter_batches(batch_format="pyarrow", batch_size=None))
+    parts = list(
+        keyed.iter_batches(batch_format="pyarrow", batch_size=None)
     )
+    tbl = pa.concat_tables(parts) if parts else pa.schema(
+        [("url", pa.string()), ("k", pa.string())]
+    ).empty_table()
     if tbl.num_rows == 0:
         return _cooc_result(*(np.array([], dtype=object),) * 2,
                             np.array([], dtype=np.int64))

@@ -28,6 +28,14 @@ from ..functions.tables import read_parquet_nometa
 from ..functions.cluster import join_partitions as _small_parts_cap
 
 
+def _collect_or_empty(ds, schema: pa.Schema) -> pa.Table:
+    """Collect a Dataset to one driver table; a stream whose blocks are all
+    empty yields ZERO batches from iter_batches, so fall back to a typed
+    empty table instead of letting pa.concat_tables([]) raise."""
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(tables) if tables else schema.empty_table()
+
+
 def _to_scaled_int(col, scale: int):
     """floor(x*scale + 0.5) as int64 — exact, order-independent summation;
     mirrored verbatim in the DuckDB oracles."""
@@ -1086,6 +1094,24 @@ def distinct_users_by_type(sf_dir: str) -> "rd.Dataset":
             .aggregate([])
         )
 
+    def partial_count(batch: pa.Table) -> pa.Table:
+        # per-batch count combiner over the globally-distinct pairs: the
+        # coalesce below must only ever see (blocks x types) tiny rows, not
+        # one row per distinct user (billions at scale)
+        if batch.num_columns == 0:
+            return pa.schema(
+                [("event_type", pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("event_type").aggregate(
+            [("n", "sum")]
+        ).rename_columns(["event_type", "n"])
+
     ds = (
         read_parquet_nometa(
             f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
@@ -1093,12 +1119,10 @@ def distinct_users_by_type(sf_dir: str) -> "rd.Dataset":
         .map_batches(pair_dedup, batch_format="pyarrow")
         .groupby(["event_type", "user_id"])
         .count()
-        .map_batches(
-            lambda b: b.select(["event_type"]), batch_format="pyarrow"
-        )
+        .map_batches(partial_count, batch_format="pyarrow")
         .repartition(_small_parts_cap(cap=2))
         .groupby("event_type")
-        .count()
+        .sum("n")
     )
     from ..functions.tables import stable_rename
 
@@ -1155,11 +1179,12 @@ def event_value_quantiles(sf_dir: str) -> pa.Table:
         # within a fixture-sized batch, so the combiner barely shrinks the
         # stream and the distributed groupby would move ~a row per event
         # for multi-second fixed shuffle cost (measured 12.1s -> 1.4s).
+        hist_schema = pa.schema(
+            [("event_type", pa.string()), ("v_c2", pa.int64()),
+             ("n", pa.int64())]
+        )
         tbl = (
-            pa.concat_tables(
-                list(ds.iter_batches(batch_format="pyarrow",
-                                     batch_size=None))
-            )
+            _collect_or_empty(ds, hist_schema)
             .group_by(["event_type", "v_c2"]).aggregate([("n", "sum")])
             .rename_columns(["event_type", "v_c2", "sum(n)"])
         )
@@ -1169,9 +1194,10 @@ def event_value_quantiles(sf_dir: str) -> pa.Table:
             .groupby(["event_type", "v_c2"])
             .sum("n")
         )
-        tbl = pa.concat_tables(
-            list(hist.iter_batches(batch_format="pyarrow",
-                                   batch_size=None))
+        tbl = _collect_or_empty(
+            hist,
+            pa.schema([("event_type", pa.string()), ("v_c2", pa.int64()),
+                       ("sum(n)", pa.int64())]),
         )
     types = tbl.column("event_type").to_pylist()
     vals = np.asarray(tbl.column("v_c2"), dtype=np.int64)
@@ -1256,8 +1282,10 @@ def orders_upsert(sf_dir: str) -> "rd.Dataset":
     if n_base // 7 + n_base // 31 > UPSERT_BROADCAST_MAX_DELTA:
         return _orders_upsert_joined(base, delta, sf_dir)
 
-    dt = pa.concat_tables(
-        list(delta.iter_batches(batch_format="pyarrow", batch_size=None))
+    dt = _collect_or_empty(
+        delta,
+        pa.schema([("o_orderkey", pa.int64()), ("op", pa.string()),
+                   ("new_price_c2", pa.int64())]),
     )
     keys = np.asarray(dt.column("o_orderkey"), dtype=np.int64)
     order = np.argsort(keys)

@@ -58,6 +58,14 @@ def hll_registers(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
     return regs
 
 
+# The in-band exact twins are VERIFICATION records, not part of the sketch:
+# above this many rows they are skipped (stamped -1 / null) so the
+# approximate query never costs more than the exact query it replaces.
+# All fixture scales stay far below the gate, so the driver record keeps
+# its measured error there.
+SKETCH_EXACT_TWIN_MAX_ROWS = 50_000_000
+
+
 def hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL estimate with small-range (linear counting) correction."""
     m = float(len(regs))
@@ -90,26 +98,34 @@ def distinct_hll(sf_dir: str, table: str = "lineitem",
 
     # self-reported exact twin (kg_oracle_prf-style in-band verification):
     # per-batch unique combiner -> key groupby -> group count. The twin IS
-    # the unbounded shuffle the sketch exists to avoid — it rides along so
-    # the driver record shows the sketch's error, not just that it ran.
-    def uniq(batch: pa.Table) -> pa.Table:
-        vals = np.unique(
-            np.asarray(batch.column(column).to_pylist(), dtype=np.int64)
-        )
-        return pa.table({column: pa.array(vals, pa.int64())})
+    # the unbounded shuffle the sketch exists to avoid — it rides along
+    # below SKETCH_EXACT_TWIN_MAX_ROWS so the driver record shows the
+    # sketch's error, and is skipped (stamped -1) above it so the sketch
+    # never costs more than the exact query it replaces.
+    import pyarrow.parquet as pq
 
-    exact = src.map_batches(uniq, batch_format="pyarrow") \
-        .groupby(column).count().count()
-    rel_err = abs(approx - exact) / max(exact, 1)
+    n_rows = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    if n_rows <= SKETCH_EXACT_TWIN_MAX_ROWS:
+        def uniq(batch: pa.Table) -> pa.Table:
+            vals = np.unique(
+                np.asarray(batch.column(column).to_pylist(),
+                           dtype=np.int64)
+            )
+            return pa.table({column: pa.array(vals, pa.int64())})
+
+        exact = src.map_batches(uniq, batch_format="pyarrow") \
+            .groupby(column).count().count()
+        rel_err = abs(approx - exact) / max(exact, 1)
+        rel_c6, within = int(round(rel_err * 1_000_000)), rel_err <= 0.03
+    else:
+        exact, rel_c6, within = -1, -1, None
     return pa.table(
         {
             "column": pa.array([f"{table}.{column}"], pa.string()),
             "approx_distinct": pa.array([approx], pa.int64()),
             "exact_distinct": pa.array([int(exact)], pa.int64()),
-            "rel_err_c6": pa.array(
-                [int(round(rel_err * 1_000_000))], pa.int64()
-            ),
-            "within_3pct": pa.array([rel_err <= 0.03], pa.bool_()),
+            "rel_err_c6": pa.array([rel_c6], pa.int64()),
+            "within_3pct": pa.array([within], pa.bool_()),
         }
     )
 
@@ -172,16 +188,24 @@ def quantile_sketch(sf_dir: str, table: str = "orders",
         vals.append(round(float(np.sqrt(lo * hi)), 6))
 
     # self-reported exact twin: exact quantiles of the single pruned column
-    # (driver numpy at query scale — the in-band verification record, like
-    # kg_oracle_prf; the sketch itself never needs it)
+    # (driver numpy — the in-band verification record, like kg_oracle_prf;
+    # the sketch itself never needs it). Gated by footer row count so the
+    # unbounded driver pull only happens at verification scales.
     import pyarrow.parquet as pq
 
-    x = np.asarray(
-        pq.read_table(f"{sf_dir}/{table}.parquet", columns=[column])
-        .column(column).to_pylist(), dtype=np.float64,
-    )
-    exact_vals = [float(np.quantile(x, q)) for q in quantiles]
-    rel = [abs(v - e) / max(abs(e), 1e-12) for v, e in zip(vals, exact_vals)]
+    if pq.read_metadata(
+        f"{sf_dir}/{table}.parquet"
+    ).num_rows <= SKETCH_EXACT_TWIN_MAX_ROWS:
+        x = np.asarray(
+            pq.read_table(f"{sf_dir}/{table}.parquet", columns=[column])
+            .column(column).to_pylist(), dtype=np.float64,
+        )
+        exact_vals = [float(np.quantile(x, q)) for q in quantiles]
+        rel = [abs(v - e) / max(abs(e), 1e-12)
+               for v, e in zip(vals, exact_vals)]
+    else:
+        exact_vals = [-1.0] * len(vals)
+        rel = [-1.0] * len(vals)
     bound = 10 ** (1.0 / QUANTILE_BINS_PER_DECADE) - 1  # half-bin + slack
     return pa.table(
         {
@@ -191,10 +215,11 @@ def quantile_sketch(sf_dir: str, table: str = "orders",
                 [round(e, 6) for e in exact_vals], pa.float64()
             ),
             "rel_err_c6": pa.array(
-                [int(round(r * 1_000_000)) for r in rel], pa.int64()
+                [-1 if r < 0 else int(round(r * 1_000_000)) for r in rel],
+                pa.int64()
             ),
             "within_bin_bound": pa.array(
-                [r <= bound for r in rel], pa.bool_()
+                [None if r < 0 else r <= bound for r in rel], pa.bool_()
             ),
         }
     )

@@ -515,8 +515,17 @@ def lang_source_rollup(sf_dir: str) -> pa.Table:
         .groupby(["lang", "source"])
         .sum(["toks", "one"])
     )
-    base = pa.concat_tables(
-        list(base_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    # an all-empty stream yields zero batches (empty corpus) — fall back to
+    # a typed empty table so the rollup returns its grand-total row alone
+    base_parts = list(
+        base_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    base = (
+        pa.concat_tables(base_parts) if base_parts
+        else pa.schema(
+            [("lang", pa.string()), ("source", pa.string()),
+             ("sum(toks)", pa.int64()), ("sum(one)", pa.int64())]
+        ).empty_table()
     ).rename_columns(["lang", "source", "total_tokens", "n_docs"])
 
     by_lang = (

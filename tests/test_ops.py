@@ -359,3 +359,59 @@ def test_top_bigram_fraction_bounds(ray_session):
     assert (df["top_bigram_n"] <= df["n_bigrams"]).all()
     assert (df["top_fraction_c6"] > 0).all()
     assert (df["top_fraction_c6"] <= 1_000_000).all()
+
+
+def test_empty_input_streams_return_typed_empties(ray_session, tmp_path):
+    """An all-empty block stream yields ZERO batches from iter_batches;
+    every driver-collect site must fall back to a typed empty table
+    instead of crashing in pa.concat_tables([])."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from spacy_crfsuite_ray.ops import dedup, relational
+
+    # the shared collector itself
+    empty_ds = rd.range(4).map_batches(
+        lambda b: pa.table({"x": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    schema = pa.schema([("x", pa.int64())])
+    out = dedup._collect_table(empty_ds, empty_schema=schema)
+    assert out.num_rows == 0 and out.schema == schema
+
+    # end-to-end: a 0-row sf dir exercises the quantile + ngram-pairs +
+    # clusters + keep-best chain
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table({"event_type": pa.array([], pa.string()),
+                  "value": pa.array([], pa.float64())}),
+        f"{sf}/events.parquet",
+    )
+    q = relational.event_value_quantiles(sf)
+    assert q.num_rows == 0
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "lang": pa.array([], pa.string()),
+                  "source": pa.array([], pa.string()),
+                  "text": pa.array([], pa.string())}),
+        f"{sf}/documents.parquet",
+    )
+    pairs = dedup.ngram_jaccard_pairs(sf)
+    assert pairs.num_rows == 0
+    assert dedup.clusters_from_pairs(pairs).num_rows == 0
+    assert dedup.dup_keep_best(sf).num_rows == 0
+    ts = dedup.training_set(sf)
+    assert ts.count() == 0
+
+    # empty CDC base: no rows survive, both columns typed
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([], pa.int64()),
+                  "o_totalprice": pa.array([], pa.float64())}),
+        f"{sf}/orders.parquet",
+    )
+    up = relational.orders_upsert(sf)
+    assert up.count() == 0
