@@ -485,6 +485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": relational.distinct_users_by_type,
         "event_value_quantiles": relational.event_value_quantiles,
         "orders_upsert": relational.orders_upsert,
+        "revenue_running_total": relational.revenue_running_total,
+        "order_priority_rank": relational.order_priority_rank,
         # --- sub-document dedup + repetition quality signals
         "chunk_dup_stats": dedup.chunk_dup_stats,
         "top_bigram_fraction": text.top_bigram_fraction,
@@ -1085,6 +1087,29 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS price_c2,
                    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE 'K' END AS op
             FROM orders WHERE o_orderkey % 31 <> 0
+        """,
+        # unbounded-preceding window SUM over bounded day keys; the window
+        # runs over the pre-aggregated daily table on both engines
+        "revenue_running_total": """
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                       AS o_orderdate,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS day_revenue_c2,
+                   CAST(sum(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)))
+                        OVER (ORDER BY date_trunc('day', o_orderdate))
+                        AS BIGINT) AS cum_revenue_c2
+            FROM orders GROUP BY date_trunc('day', o_orderdate)
+        """,
+        # full-table window: RANK() by integer cents within priority class
+        # (identical tie key on both engines)
+        "order_priority_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(rank() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY floor(o_totalprice * 100 + 0.5) DESC
+                   ) AS BIGINT) AS price_rank
+            FROM orders
         """,
         # mirror of ops.dedup.chunk_dup_stats: literal-space split (boundary
         # empties included, like the engine), full 8-word chunks only, a

@@ -137,7 +137,7 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "top_bigram_fraction", "dup_clusters", "stratified_sample",
             "dup_keep_best", "kg_pagerank", "kg_degree_stats",
             "event_value_quantiles", "orders_upsert", "kg_cooccurrence",
-            "training_set",
+            "training_set", "revenue_running_total", "order_priority_rank",
         ]:
             t0 = time.time()
             _consume(qs[name](SF_DIR))

@@ -1361,3 +1361,90 @@ def _orders_upsert_joined(base, delta, sf_dir: str) -> "rd.Dataset":
         delta, join_type="inner", num_partitions=parts, on=("o_orderkey",),
     ).map_batches(as_updated, batch_format="pyarrow")
     return kept.union(updated)
+
+
+def revenue_running_total(sf_dir: str) -> pa.Table:
+    """Cumulative revenue by order date (unbounded-preceding window SUM).
+    The distributed part is a per-batch (day, cents) combiner + one tiny
+    groupby (days are bounded regardless of row count — ~2.5k for 7 years);
+    the cumulative scan runs over that small sorted day table on the
+    driver. Integer cents keep the running sum exact and order-free."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                # day key stays a TIMESTAMP (like events_daily) so the
+                # driver's value-hash agrees with the SQL date_trunc
+                "d": pc.floor_temporal(batch.column("o_orderdate"),
+                                       unit="day"),
+                "c": _to_scaled_int(batch.column("o_totalprice"), 100),
+            }
+        )
+        return t.group_by("d").aggregate([("c", "sum")]).rename_columns(
+            ["d", "c"]
+        )
+
+    from ..functions.tables import stable_rename
+
+    daily = (
+        read_parquet_nometa(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
+        .groupby("d")
+        .sum("c")
+        .map_batches(
+            stable_rename(["d", "c"], [pa.timestamp("us"), pa.int64()]),
+            batch_format="pyarrow",
+        )
+    )
+    tbl = _collect_or_empty(
+        daily,
+        pa.schema([("d", pa.timestamp("us")), ("c", pa.int64())]),
+    )
+    order = pc.sort_indices(tbl, sort_keys=[("d", "ascending")])
+    tbl = tbl.take(order)
+    cum = np.cumsum(np.asarray(tbl.column("c"), dtype=np.int64))
+    return pa.table(
+        {
+            "o_orderdate": tbl.column("d"),
+            "day_revenue_c2": tbl.column("c"),
+            "cum_revenue_c2": pa.array(cum, pa.int64()),
+        }
+    )
+
+
+def order_priority_rank(sf_dir: str) -> "rd.Dataset":
+    """RANK() within each order-priority class by total price (descending;
+    SQL-tie semantics: equal prices share the min rank). One priority-key
+    shuffle co-locates each class; the in-group rank is a vectorized
+    searchsorted over the class's sorted price column — no per-row Python.
+    Emits one row per order (a full-table window, not an aggregate)."""
+
+    def ranks(group: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            group["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        desc = np.sort(cents)[::-1]
+        # rank = 1 + number of rows strictly greater (ties share min rank)
+        rank = len(cents) - np.searchsorted(
+            desc[::-1], cents, side="right"
+        ) + 1
+        return pd.DataFrame(
+            {
+                "o_orderkey": group["o_orderkey"].astype(np.int64),
+                "o_orderpriority": group["o_orderpriority"],
+                "price_rank": rank.astype(np.int64),
+            }
+        )
+
+    return (
+        read_parquet_nometa(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        )
+        .groupby("o_orderpriority")
+        .map_groups(ranks, batch_format="pandas")
+    )

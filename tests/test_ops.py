@@ -51,7 +51,8 @@ def _assert_matches_oracle(ray_result, sql, con):
     "event_lag_delta", "order_priority_pivot", "distinct_users_by_type",
     "chunk_dup_stats", "top_bigram_fraction", "dup_clusters",
     "stratified_sample", "dup_keep_best", "event_value_quantiles",
-    "orders_upsert", "training_set",
+    "orders_upsert", "training_set", "revenue_running_total",
+    "order_priority_rank",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
