@@ -113,26 +113,51 @@ def _kg_mentions(sf_dir: str):
 
 
 def _kg_edge_src_dst(sf_dir: str):
-    """(src, dst) directed edge table of the KG built from this scale's
-    pages fixture — the input shape ops.graph analytics run on. The edge
-    list is aggregated pipeline OUTPUT (orders of magnitude smaller than
-    the corpus), so it reads directly via pyarrow — a streaming Dataset
-    read cost 6.8s of planning/stream overhead for a 16k-row table."""
+    """(src, dst) directed edges of the KG built from this scale's pages
+    fixture — the input shape ops.graph analytics run on. Threshold-gated
+    on the free parquet-footer row count: a KG-sized (aggregated) edge list
+    reads directly via pyarrow into a driver table (a streaming Dataset
+    read cost 6.8s of planning/stream overhead for a 16k-row table), while
+    anything above ops.graph.PAGERANK_DRIVER_MAX_EDGES comes back as a
+    column-pruned DATASET so the edge list never lands on the driver
+    (graph.pagerank_from_edges/degree_stats_from_edges accept both)."""
     import glob as _glob
 
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    from spacy_crfsuite_ray.ops.graph import PAGERANK_DRIVER_MAX_EDGES
+
     out = _kg_output(sf_dir)
     files = sorted(
         _glob.glob(os.path.join(out, "edges", "shard=all", "*.parquet"))
     )
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+    if not files:  # everything filtered: schema-stable empty result
+        return empty
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return empty
+        return pa.table(
+            {"src": pc.cast(batch.column("subj_id"), pa.string()),
+             "dst": pc.cast(batch.column("obj_id"), pa.string())}
+        )
+
+    n_edges = sum(pq.read_metadata(f).num_rows for f in files)
+    if n_edges > PAGERANK_DRIVER_MAX_EDGES:
+        from spacy_crfsuite_ray.functions.tables import read_parquet_nometa
+
+        return read_parquet_nometa(
+            files, columns=["subj_id", "obj_id"]
+        ).map_batches(rename, batch_format="pyarrow")
+
     tbl = pa.concat_tables(
         pq.read_table(f, columns=["subj_id", "obj_id"]) for f in files
     )
-    return pa.table({"src": pc.cast(tbl.column("subj_id"), pa.string()),
-                     "dst": pc.cast(tbl.column("obj_id"), pa.string())})
+    return rename(tbl)
 
 
 def _kg_pagerank(sf_dir: str):

@@ -61,3 +61,23 @@ def read_parquet_nometa(paths, *, columns=None, **kw):
     if schema is not None:
         kw["schema"] = schema
     return rd.read_parquet(paths, columns=columns, **kw)
+
+
+def collect_table(ds, empty_schema: "pa.Schema | None" = None) -> pa.Table:
+    """Collect a (small, pre-reduced) Dataset to one driver table. A stream
+    whose blocks are ALL empty yields ZERO batches from iter_batches, and
+    ``pa.concat_tables([])`` raises — pass ``empty_schema`` to get a typed
+    empty table instead (callers that structurally cannot produce an empty
+    stream may omit it). Shared by ops.dedup and ops.relational so the
+    all-empty-stream semantics cannot drift between them."""
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    if not tables:
+        if empty_schema is not None:
+            return empty_schema.empty_table()
+        raise ValueError(
+            "empty stream collected without an empty_schema fallback"
+        )
+    return pa.concat_tables(tables)

@@ -211,23 +211,7 @@ PAIRGEN_DRIVER_MAX_ROWS = 5_000_000
 _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 
 
-def _collect_table(ds, empty_schema: "pa.Schema | None" = None) -> pa.Table:
-    """Collect a Dataset to one driver table. A stream whose blocks are ALL
-    empty yields ZERO batches from iter_batches, and ``pa.concat_tables([])``
-    raises — pass ``empty_schema`` to get a typed empty table instead
-    (callers that structurally cannot produce an empty stream may omit
-    it)."""
-    tables = [
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    if not tables:
-        if empty_schema is not None:
-            return empty_schema.empty_table()
-        raise ValueError(
-            "empty stream collected without an empty_schema fallback"
-        )
-    return pa.concat_tables(tables)
+from ..functions.tables import collect_table as _collect_table
 
 
 def _band_group_slices(band_col: np.ndarray):
@@ -1560,7 +1544,13 @@ def training_set(
     100 TB shape: the gate is a streaming filter; pair generation shuffles
     df-bounded shingle rows; clusters/keepers are the SPARSE dedup output
     (broadcast, like ``dup_keep_best``); the final sample is a per-batch
-    top-k combiner. Document text never leaves the column-pruned scans."""
+    top-k combiner. Document text never leaves the column-pruned scans —
+    and is never PINNED either: only the (doc_id, lang) survivor keys
+    materialize (two scalar columns); each text-needing pass re-scans the
+    parquet column-pruned and re-applies the vectorized gate, trading one
+    cheap recompute per pass for not holding most of the corpus in the
+    object store for the whole run (round 3 materialized the gated
+    (doc_id, lang, text) stream — spilling made that run, not scale)."""
     import pandas as pd
     import ray
 
@@ -1582,12 +1572,22 @@ def training_set(
         )
         return batch.filter(mask)
 
-    docs = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
-        gate, batch_format="pyarrow"
-    ).materialize()
-    n_docs = docs.count()
+    def gated_text():
+        """Streaming gated (doc_id, text) scan — built fresh per consumer
+        so the text column is never materialized."""
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            gate, batch_format="pyarrow"
+        )
 
-    ex = docs.drop_columns(["lang"]).map_batches(
+    gated_keys = (
+        _docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(gate, batch_format="pyarrow")
+        .drop_columns(["text"])
+        .materialize()
+    )
+    n_docs = gated_keys.count()
+
+    ex = gated_text().map_batches(
         _ngram_explode(ngram_k), batch_format="pyarrow"
     )
     pairs = _ngram_pairs_from_exploded(ex, threshold, max_df, n_docs)
@@ -1624,7 +1624,7 @@ def training_set(
             )
 
         mem = _collect_table(
-            docs.map_batches(lens, batch_format="pyarrow"),
+            gated_text().map_batches(lens, batch_format="pyarrow"),
             empty_schema=pa.schema(
                 [("cluster_id", pa.int64()), ("doc_id", pa.int64()),
                  ("n_chars", pa.int64())]
@@ -1673,7 +1673,7 @@ def training_set(
 
     return (
         coalesce_small(
-            docs.map_batches(surv, batch_format="pyarrow")
+            gated_keys.map_batches(surv, batch_format="pyarrow")
             .map_batches(partial, batch_format="pandas"),
             cap=2,
         )

@@ -53,42 +53,74 @@ def _pagerank_driver(nodes: np.ndarray, src: np.ndarray,
     return r
 
 
-def _pagerank_distributed(edges_tbl: pa.Table, nodes: np.ndarray,
-                          iters: int) -> np.ndarray:
-    """Iterative Dataset twin: per round, ship rank//outdeg along each edge
-    (edges ⋈ ranks hash-join), fold with groupby-sum, rebase. Driver traffic
-    per round is ONE scalar (the dangling mass); ranks/edges stay in the
-    object store. Identical int64 ops → byte-identical to the driver twin
-    (equality-tested)."""
-    import ray.data as rd
+def _endpoint_zero_batch(batch: pa.Table) -> pa.Table:
+    """Batch-local distinct edge endpoints, tagged outdeg 0 (union seed so
+    pure sinks appear in the node table)."""
+    nodes = pa.concat_tables(
+        [pa.table({"node": pc.cast(batch.column("src"), pa.string())}),
+         pa.table({"node": pc.cast(batch.column("dst"), pa.string())})]
+    ).group_by("node").aggregate([])
+    return nodes.append_column(
+        "outdeg", pa.array(np.zeros(nodes.num_rows, np.int64))
+    )
+
+
+def _outdeg_partial_batch(batch: pa.Table) -> pa.Table:
+    """Batch-local (src, count) combiner for the distributed outdeg."""
+    t = pa.table(
+        {"node": pc.cast(batch.column("src"), pa.string()),
+         "outdeg": pa.array(np.ones(batch.num_rows, np.int64))}
+    )
+    return t.group_by("node").aggregate([("outdeg", "sum")]) \
+        .rename_columns(["node", "outdeg"])
+
+
+def _pagerank_distributed(edges, iters: int):
+    """Iterative Dataset twin over a (src, dst) edge DATASET: the node set
+    and outdeg table are built distributedly (per-batch combiner + one
+    groupby), so NOTHING graph-sized ever lands on the driver — round-3's
+    version still required the full edge list driver-resident before
+    `rd.from_arrow`. Per round, rank//outdeg ships along each edge
+    (edges ⋈ ranks hash-join), folds with groupby-sum, rebases; driver
+    traffic per round is ONE scalar (the dangling mass). Identical int64
+    ops → byte-identical to the numpy driver twin (equality-tested).
+    Returns a (node, r) Dataset."""
     from ray.data.aggregate import Sum
 
     from ..functions.cluster import join_partitions
     from ..functions.tables import stable_rename
 
-    n = len(nodes)
-    parts = join_partitions(rows=edges_tbl.num_rows)
-    edges = rd.from_arrow(edges_tbl).materialize()
-    deg_tbl = (
-        pa.table({"node": edges_tbl.column("src")})
-        .group_by("node").aggregate([([], "count_all")])
-        .rename_columns(["node", "outdeg"])
+    edges = edges.materialize()
+    parts = join_partitions(rows=edges.count())
+    node_deg = (
+        edges.map_batches(_outdeg_partial_batch, batch_format="pyarrow")
+        .union(edges.map_batches(_endpoint_zero_batch,
+                                 batch_format="pyarrow"))
+        .groupby("node")
+        .sum("outdeg")
+        .map_batches(
+            stable_rename(["node", "outdeg"], [pa.string(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
-    # outdeg for every node (0 for sinks), built once on the driver from the
-    # edge table already present here; shipped to the store once
-    deg_map = dict(zip(deg_tbl.column("node").to_pylist(),
-                       deg_tbl.column("outdeg").to_pylist()))
-    outdeg_all = np.array([deg_map.get(v, 0) for v in nodes.tolist()],
-                          dtype=np.int64)
+    n = node_deg.count()
     base = (PR_SCALE // n) * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
-    node_deg = rd.from_arrow(
-        pa.table({"node": pa.array(nodes, pa.string()),
-                  "outdeg": pa.array(outdeg_all, pa.int64())})
-    ).materialize()
-    ranks = rd.from_arrow(
-        pa.table({"node": pa.array(nodes, pa.string()),
-                  "r": pa.array(np.full(n, PR_SCALE // n, np.int64))})
-    )
+    init_r = PR_SCALE // n
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("node"),
+             "r": pa.array(np.full(batch.num_rows, init_r, np.int64))}
+        )
+
+    def zero_contrib(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("node"),
+             "c": pa.array(np.zeros(batch.num_rows, np.int64))}
+        )
+
+    ranks = node_deg.map_batches(seed, batch_format="pyarrow")
     for _ in range(iters):
         rd_full = ranks.join(
             node_deg, join_type="inner", num_partitions=parts, on=("node",),
@@ -116,12 +148,8 @@ def _pagerank_distributed(edges_tbl: pa.Table, nodes: np.ndarray,
             edges.join(srcs, join_type="inner", num_partitions=parts,
                        on=("src",))
             .map_batches(contrib, batch_format="pyarrow")
-            .union(
-                rd.from_arrow(
-                    pa.table({"node": pa.array(nodes, pa.string()),
-                              "c": pa.array(np.zeros(n, np.int64))})
-                )
-            )
+            .union(node_deg.map_batches(zero_contrib,
+                                        batch_format="pyarrow"))
             .groupby("node")
             .aggregate(Sum("c"))
             .map_batches(
@@ -131,7 +159,7 @@ def _pagerank_distributed(edges_tbl: pa.Table, nodes: np.ndarray,
             )
         )
 
-        def rebase(batch: pa.Table) -> pa.Table:
+        def rebase(batch: pa.Table, share=share) -> pa.Table:
             s = np.asarray(batch.column("in_sum"), dtype=np.int64)
             newr = base + (PR_DAMP_NUM * (s + share)) // PR_DAMP_DEN
             return pa.table({"node": batch.column("node"),
@@ -140,39 +168,135 @@ def _pagerank_distributed(edges_tbl: pa.Table, nodes: np.ndarray,
         ranks = in_sums.map_batches(
             rebase, batch_format="pyarrow"
         ).materialize()
-    out = pa.concat_tables(
-        list(ranks.iter_batches(batch_format="pyarrow", batch_size=None))
-    )
-    rank_of = dict(zip(out.column("node").to_pylist(),
-                       out.column("r").to_pylist()))
-    return np.array([rank_of[v] for v in nodes.tolist()], dtype=np.int64)
+    return ranks
 
 
-def pagerank_from_edges(edges_tbl: pa.Table,
-                        iters: int = PR_ITERS) -> pa.Table:
-    """(node_id, rank_c12) over a directed (src, dst) edge table. Node set =
-    all edge endpoints; dangling (sink) mass redistributes uniformly.
-    Threshold-gated driver/distributed twins, byte-identical by the
-    fixed-point construction (equality-tested)."""
-    if edges_tbl.num_rows == 0:
+def _is_dataset(obj) -> bool:
+    import ray.data as rd
+
+    return isinstance(obj, rd.Dataset)
+
+
+def pagerank_from_edges(edges, iters: int = PR_ITERS):
+    """(node_id, rank_c12) over a directed (src, dst) edge table OR
+    Dataset. Node set = all edge endpoints; dangling (sink) mass
+    redistributes uniformly. Threshold-gated driver/distributed twins,
+    byte-identical by the fixed-point construction (equality-tested).
+
+    Scale contract: pass a DATASET (e.g. `rd.read_parquet(edges_dir)`) for
+    big graphs — above the gate the edge list never lands on the driver
+    (nodes/outdeg are built distributedly) and the result comes back as a
+    (node_id, rank_c12) Dataset. pa.Table input keeps the fast driver path
+    and table output for KG-sized (aggregated) edge lists."""
+    from ..functions.tables import collect_table
+
+    as_dataset = _is_dataset(edges)
+    n_edges = edges.count() if as_dataset else edges.num_rows
+    if n_edges == 0:
         return pa.table({"node_id": pa.array([], pa.string()),
                          "rank_c12": pa.array([], pa.int64())})
+
+    if n_edges > PAGERANK_DRIVER_MAX_EDGES:
+        import ray.data as rd
+
+        ds = edges if as_dataset else rd.from_arrow(edges)
+        ranks = _pagerank_distributed(ds, iters).map_batches(
+            lambda t: pa.table({"node_id": t.column("node"),
+                                "rank_c12": t.column("r")}),
+            batch_format="pyarrow",
+        )
+        if as_dataset:
+            return ranks
+        out = collect_table(ranks)
+        return out.take(
+            pc.sort_indices(out, sort_keys=[("node_id", "ascending")])
+        )
+
+    edges_tbl = edges if not as_dataset else collect_table(
+        edges, empty_schema=pa.schema([("src", pa.string()),
+                                       ("dst", pa.string())])
+    )
     src = np.asarray(edges_tbl.column("src"))
     dst = np.asarray(edges_tbl.column("dst"))
     nodes = np.unique(np.concatenate([src, dst]))
-    if edges_tbl.num_rows <= PAGERANK_DRIVER_MAX_EDGES:
-        r = _pagerank_driver(nodes, src, dst, iters)
-    else:
-        r = _pagerank_distributed(edges_tbl, nodes, iters)
+    r = _pagerank_driver(nodes, src, dst, iters)
     return pa.table({"node_id": pa.array(nodes.tolist(), pa.string()),
                      "rank_c12": pa.array(r, pa.int64())})
 
 
-def degree_stats_from_edges(tbl: pa.Table) -> pa.Table:
+def _degree_stats_dataset(edges) -> pa.Table:
+    """Distributed twin of degree_stats_from_edges over an edge DATASET:
+    per batch a (node, 1) count combiner, one groupby finishing the degree
+    per node, a second per-batch combiner + tiny groupby folding the degree
+    HISTOGRAM (bounded by distinct degree values, not node count — safe to
+    return as a driver table). The edge list never lands on the driver."""
+    from ..functions.cluster import join_partitions
+    from ..functions.tables import collect_table, stable_rename
+
+    edges = edges.materialize()
+    parts = join_partitions(cap=2, rows=edges.count())
+    out = []
+    for kind, col in (("out", "src"), ("in", "dst")):
+        def deg_partial(batch: pa.Table, col=col) -> pa.Table:
+            t = pa.table(
+                {"node": pc.cast(batch.column(col), pa.string()),
+                 "n": pa.array(np.ones(batch.num_rows, np.int64))}
+            )
+            return t.group_by("node").aggregate([("n", "sum")]) \
+                .rename_columns(["node", "n"])
+
+        def hist_partial(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0:
+                return pa.schema([("degree", pa.int64()),
+                                  ("m", pa.int64())]).empty_table()
+            t = pa.table(
+                {"degree": batch.column("degree"),
+                 "m": pa.array(np.ones(batch.num_rows, np.int64))}
+            )
+            return t.group_by("degree").aggregate([("m", "sum")]) \
+                .rename_columns(["degree", "m"])
+
+        hist = collect_table(
+            edges.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node")
+            .sum("n")
+            .map_batches(
+                stable_rename(["node", "degree"],
+                              [pa.string(), pa.int64()]),
+                batch_format="pyarrow",
+            )
+            .map_batches(hist_partial, batch_format="pyarrow")
+            .repartition(parts)
+            .groupby("degree")
+            .sum("m")
+            .map_batches(
+                stable_rename(["degree", "n_nodes"],
+                              [pa.int64(), pa.int64()]),
+                batch_format="pyarrow",
+            ),
+            empty_schema=pa.schema([("degree", pa.int64()),
+                                    ("n_nodes", pa.int64())]),
+        )
+        out.append(
+            hist.append_column(
+                "kind", pa.array([kind] * hist.num_rows, pa.string())
+            )
+        )
+    res = pa.concat_tables(out)
+    order = pc.sort_indices(
+        res, sort_keys=[("kind", "ascending"), ("degree", "ascending")]
+    )
+    return res.take(order).select(["kind", "degree", "n_nodes"])
+
+
+def degree_stats_from_edges(tbl) -> pa.Table:
     """Degree distribution of a directed graph: per (degree kind, degree)
     node counts — the quick structural health check (hub detection,
-    disconnected fraction) run after every KG build. Two tiny groupbys over
-    the (src, dst) edge table."""
+    disconnected fraction) run after every KG build. Accepts a pa.Table
+    (two tiny driver groupbys — the KG-sized fast path) or a Dataset (fully
+    distributed; only the tiny histogram reaches the driver)."""
+    if _is_dataset(tbl):
+        return _degree_stats_dataset(tbl)
     out = []
     for kind, col in (("out", "src"), ("in", "dst")):
         deg = (

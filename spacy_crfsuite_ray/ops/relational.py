@@ -28,12 +28,7 @@ from ..functions.tables import read_parquet_nometa
 from ..functions.cluster import join_partitions as _small_parts_cap
 
 
-def _collect_or_empty(ds, schema: pa.Schema) -> pa.Table:
-    """Collect a Dataset to one driver table; a stream whose blocks are all
-    empty yields ZERO batches from iter_batches, so fall back to a typed
-    empty table instead of letting pa.concat_tables([]) raise."""
-    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
-    return pa.concat_tables(tables) if tables else schema.empty_table()
+from ..functions.tables import collect_table as _collect_or_empty
 
 
 def _to_scaled_int(col, scale: int):
@@ -1050,6 +1045,13 @@ def order_priority_pivot(sf_dir: str) -> "rd.Dataset":
             [segs.get(k) for k in batch.column("o_custkey").to_pylist()],
             pa.string(),
         )
+        # inner-join semantics: an o_custkey missing from customer must be
+        # DROPPED (the oracle's join drops it), not grouped under a null
+        # segment — broadcast-lookup misses are filtered before the pivot
+        if seg.null_count:
+            keep = pc.is_valid(seg)
+            seg = seg.filter(keep)
+            batch = batch.filter(keep)
         prio = batch.column("o_orderpriority")
         cols = {"c_mktsegment": seg}
         for value, name in _PRIORITY_COLS:
@@ -1303,10 +1305,20 @@ def orders_upsert(sf_dir: str) -> "rd.Dataset":
             np.asarray(batch.column("o_totalprice"), np.float64) * 100.0
             + 0.5
         ).astype(np.int64)
+        if len(dkeys) == 0:
+            # empty changelog with a non-empty base: every base row is kept
+            # verbatim (ddel/dnew are zero-length, so the fancy-indexing
+            # below would raise — guard the whole probe, not just `hit`)
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(k, pa.int64()),
+                    "price_c2": pa.array(price_c2, pa.int64()),
+                    "op": pa.array(["K"] * len(k), pa.string()),
+                }
+            )
         pos = np.searchsorted(dkeys, k)
-        pos_c = np.minimum(pos, max(len(dkeys) - 1, 0))
-        hit = (pos < len(dkeys)) & (dkeys[pos_c] == k) if len(dkeys) \
-            else np.zeros(len(k), bool)
+        pos_c = np.minimum(pos, len(dkeys) - 1)
+        hit = (pos < len(dkeys)) & (dkeys[pos_c] == k)
         upd = hit & ~ddel[pos_c]
         keep = ~(hit & ddel[pos_c])
         merged = np.where(upd, dnew[pos_c], price_c2)
@@ -1418,10 +1430,104 @@ def revenue_running_total(sf_dir: str) -> pa.Table:
 
 def order_priority_rank(sf_dir: str) -> "rd.Dataset":
     """RANK() within each order-priority class by total price (descending;
-    SQL-tie semantics: equal prices share the min rank). One priority-key
-    shuffle co-locates each class; the in-group rank is a vectorized
-    searchsorted over the class's sorted price column — no per-row Python.
-    Emits one row per order (a full-table window, not an aggregate)."""
+    SQL-tie semantics: equal prices share the min rank), emitting one row
+    per order — a full-table window, not an aggregate.
+
+    Scale shape (the event_value_quantiles histogram pattern, NOT a
+    per-class map_groups): RANK over a value column only needs the VALUE
+    HISTOGRAM, never row co-location. Stage 1 is a per-batch
+    (priority, cents)→count combiner, so the shuffle moves at most one row
+    per distinct (class, price) per batch; stage 2 is a tiny groupby over
+    the histogram (bounded by the price DOMAIN — cents values × 5 classes —
+    not by row count); the merged histogram is broadcast once and every
+    batch computes ``rank = 1 + #(strictly greater in class)`` with a
+    vectorized searchsorted. No worker ever holds a whole priority class
+    (at 100× data a class is ~20% of the fact table — the round-3
+    map_groups version pinned that in ONE pandas group)."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+    from ..functions.tables import stable_rename
+
+    src = f"{sf_dir}/orders.parquet"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p": batch.column("o_orderpriority"),
+                "c": _to_scaled_int(batch.column("o_totalprice"), 100),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["p", "c"]).aggregate([("n", "sum")]) \
+            .rename_columns(["p", "c", "n"])
+
+    hist_schema = pa.schema(
+        [("p", pa.string()), ("c", pa.int64()), ("n", pa.int64())]
+    )
+    hist = _collect_or_empty(
+        read_parquet_nometa(
+            src, columns=["o_orderpriority", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
+        .groupby(["p", "c"])
+        .sum("n")
+        .map_batches(
+            stable_rename(["p", "c", "n"],
+                          [pa.string(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        ),
+        hist_schema,
+    )
+    # per class: ascending unique cents + suffix-sum of counts, so that
+    # rank(v) = 1 + (# rows with cents > v) = 1 + suffix[searchsorted_right]
+    lut: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    hp = hist.column("p").to_pylist()
+    hc = np.asarray(hist.column("c"), dtype=np.int64)
+    hn = np.asarray(hist.column("n"), dtype=np.int64)
+    for p in set(hp):
+        m = np.fromiter((x == p for x in hp), bool, len(hp))
+        order = np.argsort(hc[m], kind="stable")
+        vals = hc[m][order]
+        cnts = hn[m][order]
+        suffix = np.zeros(len(vals) + 1, dtype=np.int64)
+        suffix[:-1] = np.cumsum(cnts[::-1])[::-1]
+        lut[p] = (vals, suffix)
+    ref = ray.put(lut)
+
+    def rank_batch(batch: pa.Table) -> pa.Table:
+        table = get_broadcast(ref)
+        prio = batch.column("o_orderpriority").to_pylist()
+        cents = np.floor(
+            np.asarray(batch.column("o_totalprice"), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        rank = np.empty(len(cents), dtype=np.int64)
+        for p in set(prio):  # ≤5 classes per batch
+            m = np.fromiter((x == p for x in prio), bool, len(prio))
+            vals, suffix = table[p]
+            rank[m] = 1 + suffix[
+                np.searchsorted(vals, cents[m], side="right")
+            ]
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch.column("o_orderkey"),
+                                      pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "price_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return read_parquet_nometa(
+        src, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(rank_batch, batch_format="pyarrow")
+
+
+def _order_priority_rank_groups(sf_dir: str) -> "rd.Dataset":
+    """Equality twin of order_priority_rank: the per-class map_groups
+    formulation (co-locates each priority class — kept ONLY as the test
+    reference; the histogram path above is the production shape)."""
 
     def ranks(group: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(

@@ -13,9 +13,6 @@ boundaries or ordering. Accuracy is asserted against exact answers in tests.
 
 from __future__ import annotations
 
-import hashlib
-import struct
-
 import numpy as np
 import pyarrow as pa
 
@@ -27,14 +24,16 @@ HLL_P = 12  # 4096 registers → ~1.6% standard error
 
 
 def _hash64(values: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit hashes of int64 values (sha1-based, vectorized
-    over Python only at the hashlib call — values are first deduped)."""
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        out[i] = struct.unpack(
-            "<Q", hashlib.sha1(struct.pack("<q", int(v))).digest()[:8]
-        )[0]
-    return out
+    """Deterministic 64-bit hashes of int64 values: the splitmix64
+    finalizer (Steele et al., public domain), fully vectorized in numpy —
+    no per-value Python. The register LAYOUT, not the hash function, is
+    the sketch's contract (the in-band exact twin measures the resulting
+    error, asserted <3% in tests); round 3 hashed per value through
+    hashlib, the one Python loop left in a sketch combiner."""
+    z = values.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
 def hll_registers(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
@@ -84,7 +83,9 @@ def distinct_hll(sf_dir: str, table: str = "lineitem",
     estimate. Exact twin: count(DISTINCT col) — tests assert <3% error."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = np.asarray(batch.column(column).to_pylist(), dtype=np.int64)
+        vals = np.asarray(
+            batch.column(column).combine_chunks(), dtype=np.int64
+        )
         return pa.table({"regs": pa.array([hll_registers(vals).tobytes()],
                                           pa.binary())})
 
@@ -107,10 +108,9 @@ def distinct_hll(sf_dir: str, table: str = "lineitem",
     n_rows = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
     if n_rows <= SKETCH_EXACT_TWIN_MAX_ROWS:
         def uniq(batch: pa.Table) -> pa.Table:
-            vals = np.unique(
-                np.asarray(batch.column(column).to_pylist(),
-                           dtype=np.int64)
-            )
+            vals = np.unique(np.asarray(
+                batch.column(column).combine_chunks(), dtype=np.int64
+            ))
             return pa.table({column: pa.array(vals, pa.int64())})
 
         exact = src.map_batches(uniq, batch_format="pyarrow") \
@@ -149,7 +149,9 @@ def quantile_sketch(sf_dir: str, table: str = "orders",
     against exact quantiles."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        x = np.asarray(batch.column(column).to_pylist(), dtype=np.float64)
+        x = np.asarray(
+            batch.column(column).combine_chunks(), dtype=np.float64
+        )
         bins, counts = np.unique(_bin_of(x), return_counts=True)
         return pa.table(
             {

@@ -450,11 +450,17 @@ def _tfidf_joined(sf_dir: str, df_ds, n_docs: int, k: int) -> "rd.Dataset":
     return j.groupby("doc_id").map_groups(topk, batch_format="pandas")
 
 
-def ngram_top(sf_dir: str, k: int = 20) -> "rd.Dataset":
+def ngram_top(sf_dir: str, k: int = 20) -> pa.Table:
     """Corpus-wide top-k word bigrams: per-batch Counter combiner (the
-    shuffle moves unique bigrams per batch, never per-token rows), tiny
-    groupby-sum, global sort + limit (ties broken by bigram text)."""
+    shuffle moves unique bigrams per batch, never per-token rows), bigram
+    groupby-sum, then a PER-BLOCK top-k combiner + driver merge of
+    (blocks × k) candidate rows (ties broken by bigram text). After the
+    groupby each bigram lives in exactly one block, so every global top-k
+    row is in its block's top-k — no global sort of the corpus-wide bigram
+    vocabulary (billions of rows at web scale) just to keep 20."""
     from collections import Counter
+
+    from ..functions.tables import collect_table
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -469,16 +475,30 @@ def ngram_top(sf_dir: str, k: int = 20) -> "rd.Dataset":
             }
         )
 
-    return (
+    schema = pa.schema([("ng", pa.string()), ("n", pa.int64())])
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return schema.empty_table()
+        batch = batch.rename_columns(["ng", "n"])
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[("n", "descending"), ("ng", "ascending")],
+        )
+        return batch.take(order.slice(0, k))
+
+    cand = collect_table(
         _docs(sf_dir, ["text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("ng")
         .sum("n")
-        .map_batches(lambda b: b.rename_columns(["ng", "n"]),
-                     batch_format="pyarrow")
-        .sort(["n", "ng"], descending=[True, False])
-        .limit(k)
+        .map_batches(topk_block, batch_format="pyarrow"),
+        empty_schema=schema,
     )
+    order = pc.sort_indices(
+        cand, sort_keys=[("n", "descending"), ("ng", "ascending")]
+    )
+    return cand.take(order.slice(0, k))
 
 
 def lang_source_rollup(sf_dir: str) -> pa.Table:

@@ -133,18 +133,27 @@ def derive_union_batch(batch: pa.Table) -> pa.Table:
 
 
 def mentions_batch(batch: pa.Table) -> pa.Table:
-    """(url, entities) → one row per entity mention."""
-    rows = []
-    for url, ents in zip(
-        batch.column("url").to_pylist(), batch.column("entities").to_pylist()
-    ):
-        for e in ents or []:
-            rows.append(
-                {
-                    "url": url,
-                    "value": e["value"],
-                    "type": e["entity"],
-                    "confidence": e["confidence"],
-                }
-            )
-    return pa.Table.from_pylist(rows, schema=MENTION_SCHEMA)
+    """(url, entities) → one row per entity mention. Fully vectorized —
+    the list<struct> column flattens with Arrow kernels (list_flatten +
+    struct_field, exactly like link.entity_surface_counts_batch) and the
+    url repeats via list_parent_indices + take; no Python ever touches a
+    mention dict."""
+    import pyarrow.compute as pc
+
+    ents = batch.column("entities")
+    if isinstance(ents, pa.ChunkedArray):
+        ents = ents.combine_chunks()
+    flat = pc.list_flatten(ents)
+    if len(flat) == 0:
+        return MENTION_SCHEMA.empty_table()
+    urls = batch.column("url").take(pc.list_parent_indices(ents))
+    return pa.table(
+        {
+            "url": pc.cast(urls, pa.string()),
+            "value": pc.cast(pc.struct_field(flat, "value"), pa.string()),
+            "type": pc.cast(pc.struct_field(flat, "entity"), pa.string()),
+            "confidence": pc.cast(
+                pc.struct_field(flat, "confidence"), pa.float64()
+            ),
+        }
+    ).cast(MENTION_SCHEMA)
