@@ -423,7 +423,8 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
     """raw triples + surface counts -> linking -> canonical triples,
     nodes, edges. Idempotent: valid manifests short-circuit."""
     dirs = {
-        name: os.path.join(out_dir, name) for name in ("triples", "edges", "nodes")
+        name: os.path.join(out_dir, name)
+        for name in ("triples", "edges", "nodes", "mapping")
     }
     if not force and all(manifest_valid(d, "all") for d in dirs.values()):
         return {
@@ -503,6 +504,31 @@ def run_phase2(out_dir: str, force: bool = False) -> Dict:
             mapping_ds = build_canonical_mapping_ds(surf_ds, mapping_parts)
     use_join = mapping_ds is not None
     mapping_ref = ray.put(mapping) if not use_join else None
+
+    # --- mapping artifact: the surface→canonical linking table, written as
+    # partitioned parquet lineage output (unique surfaces — small relative
+    # to the corpus). Downstream audits and the kg_nodes SQL oracle
+    # recompute n_mentions from the tagged checkpoint through this table.
+    tm = time.time()
+    mapping_shard = os.path.join(dirs["mapping"], "shard=all")
+    if use_join:
+        mapping_ds.write_parquet(mapping_shard)
+        n_mapping = -1
+    else:
+        items = sorted(mapping.items())
+        mtbl = pa.table(
+            {
+                "type": pa.array([k[0] for k, _ in items], pa.string()),
+                "norm": pa.array([k[1] for k, _ in items], pa.string()),
+                "canonical": pa.array([v for _, v in items], pa.string()),
+            }
+        )
+        os.makedirs(mapping_shard, exist_ok=True)
+        pq.write_table(mtbl, os.path.join(mapping_shard, "part-0.parquet"))
+        n_mapping = mtbl.num_rows
+    write_manifest(dirs["mapping"], "all",
+                   input_refs=[os.path.join(out_dir, "tagged")],
+                   rows_out=n_mapping, wall_s=time.time() - tm)
 
     # --- canonical triples. Broadcast path: task-based rewrite against the
     # object-store mapping. Join path: mapping Dataset hash-joined on
