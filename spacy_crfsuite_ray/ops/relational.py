@@ -1140,6 +1140,9 @@ def distinct_users_by_type(sf_dir: str) -> "rd.Dataset":
 # Twins equality-tested.
 EVENT_QUANTILE_DRIVER_MAX_ROWS = 20_000_000
 
+# Same gate for order_priority_rank's (priority, cents) histogram merge.
+RANK_HIST_DRIVER_MAX_ROWS = 20_000_000
+
 
 def event_value_quantiles(sf_dir: str) -> pa.Table:
     """EXACT per-group quantiles (p50/p90 of event value per event_type)
@@ -1465,29 +1468,48 @@ def order_priority_rank(sf_dir: str) -> "rd.Dataset":
     hist_schema = pa.schema(
         [("p", pa.string()), ("c", pa.int64()), ("n", pa.int64())]
     )
-    hist = _collect_or_empty(
-        read_parquet_nometa(
-            src, columns=["o_orderpriority", "o_totalprice"]
+    partials = read_parquet_nometa(
+        src, columns=["o_orderpriority", "o_totalprice"]
+    ).map_batches(partial, batch_format="pyarrow")
+    if pq.read_metadata(src).num_rows <= RANK_HIST_DRIVER_MAX_ROWS:
+        # near-unique prices make the histogram ~as long as the input at
+        # fixture scale, and a Ray sort-shuffle over 150k groups costs ~12s
+        # of pure overhead — so below the gate the per-batch partials merge
+        # in ONE driver pyarrow group_by (the standard driver-merge twin);
+        # above it the distributed groupby runs (the histogram is bounded
+        # by the price DOMAIN × classes, not row count, so it stops
+        # tracking input size exactly when the input gets big)
+        hist = (
+            _collect_or_empty(partials, hist_schema)
+            .group_by(["p", "c"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["p", "c", "n"])
         )
-        .map_batches(partial, batch_format="pyarrow")
-        .repartition(_small_parts_cap(cap=2))
-        .groupby(["p", "c"])
-        .sum("n")
-        .map_batches(
-            stable_rename(["p", "c", "n"],
-                          [pa.string(), pa.int64(), pa.int64()]),
-            batch_format="pyarrow",
-        ),
-        hist_schema,
-    )
+    else:
+        hist = _collect_or_empty(
+            partials.repartition(_small_parts_cap(cap=2))
+            .groupby(["p", "c"])
+            .sum("n")
+            .map_batches(
+                stable_rename(["p", "c", "n"],
+                              [pa.string(), pa.int64(), pa.int64()]),
+                batch_format="pyarrow",
+            ),
+            hist_schema,
+        )
     # per class: ascending unique cents + suffix-sum of counts, so that
-    # rank(v) = 1 + (# rows with cents > v) = 1 + suffix[searchsorted_right]
+    # rank(v) = 1 + (# rows with cents > v) = 1 + suffix[searchsorted_right].
+    # The class column dictionary-encodes in Arrow C (the histogram can be
+    # millions of rows when prices are near-unique — a Python membership
+    # loop here cost 17s at sf0.1, the entire regression)
     lut: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    hp = hist.column("p").to_pylist()
+    henc = hist.column("p").combine_chunks().dictionary_encode()
+    hp_idx = np.asarray(henc.indices, dtype=np.int64) \
+        if hist.num_rows else np.empty(0, np.int64)
     hc = np.asarray(hist.column("c"), dtype=np.int64)
     hn = np.asarray(hist.column("n"), dtype=np.int64)
-    for p in set(hp):
-        m = np.fromiter((x == p for x in hp), bool, len(hp))
+    for i, p in enumerate(henc.dictionary.to_pylist()):
+        m = hp_idx == i
         order = np.argsort(hc[m], kind="stable")
         vals = hc[m][order]
         cnts = hn[m][order]
@@ -1498,14 +1520,16 @@ def order_priority_rank(sf_dir: str) -> "rd.Dataset":
 
     def rank_batch(batch: pa.Table) -> pa.Table:
         table = get_broadcast(ref)
-        prio = batch.column("o_orderpriority").to_pylist()
+        enc = batch.column("o_orderpriority").combine_chunks() \
+            .dictionary_encode()
+        idx = np.asarray(enc.indices, dtype=np.int64)
         cents = np.floor(
             np.asarray(batch.column("o_totalprice"), np.float64) * 100.0
             + 0.5
         ).astype(np.int64)
         rank = np.empty(len(cents), dtype=np.int64)
-        for p in set(prio):  # ≤5 classes per batch
-            m = np.fromiter((x == p for x in prio), bool, len(prio))
+        for i, p in enumerate(enc.dictionary.to_pylist()):  # ≤5 classes
+            m = idx == i
             vals, suffix = table[p]
             rank[m] = 1 + suffix[
                 np.searchsorted(vals, cents[m], side="right")

@@ -32,6 +32,17 @@ def test_order_priority_rank_histogram_equals_groups(ray_session):
     a = hist[cols].sort_values(cols).reset_index(drop=True)
     b = groups[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+    # force the distributed histogram groupby (the at-scale twin)
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(relational, "RANK_HIST_DRIVER_MAX_ROWS", -1)
+        dist = relational.order_priority_rank(SF).to_pandas()
+    finally:
+        mp.undo()
+    c = dist[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(c)
     assert len(a) == pq.read_metadata(f"{SF}/orders.parquet").num_rows
     # ties share the min rank: every class starts at rank 1
     assert (a.groupby("o_orderpriority")["price_rank"].min() == 1).all()
