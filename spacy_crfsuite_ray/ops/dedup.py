@@ -1545,12 +1545,13 @@ def training_set(
     df-bounded shingle rows; clusters/keepers are the SPARSE dedup output
     (broadcast, like ``dup_keep_best``); the final sample is a per-batch
     top-k combiner. Document text never leaves the column-pruned scans —
-    and is never PINNED either: only the (doc_id, lang) survivor keys
-    materialize (two scalar columns); each text-needing pass re-scans the
-    parquet column-pruned and re-applies the vectorized gate, trading one
-    cheap recompute per pass for not holding most of the corpus in the
-    object store for the whole run (round 3 materialized the gated
-    (doc_id, lang, text) stream — spilling made that run, not scale)."""
+    and is never PINNED either: only the (doc_id, lang, n_chars) survivor
+    keys materialize (three scalar columns); the one text-needing pass
+    (the shingle explode) re-scans the parquet column-pruned with the
+    vectorized gate re-applied, and the keep-longest step probes the
+    materialized keys (n_chars rode out of the gate pass) instead of
+    scanning text again. Round 3 materialized the gated (doc_id, lang,
+    text) stream — spilling made that run, not scale."""
     import pandas as pd
     import ray
 
@@ -1559,8 +1560,7 @@ def training_set(
     from ..functions.cluster import coalesce_small
     from ..functions.hashing import text_md5
 
-    def gate(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
+    def _gate_mask(text: pa.ChunkedArray):
         n_chars = pc.cast(pc.utf8_length(text), pa.int64())
         n_tokens = pc.cast(
             pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64()
@@ -1570,6 +1570,10 @@ def training_set(
                     pc.less_equal(n_chars, 1000)),
             pc.greater_equal(n_tokens, 30),
         )
+        return mask, n_chars
+
+    def gate(batch: pa.Table) -> pa.Table:
+        mask, _ = _gate_mask(batch.column("text"))
         return batch.filter(mask)
 
     def gated_text():
@@ -1579,10 +1583,21 @@ def training_set(
             gate, batch_format="pyarrow"
         )
 
+    def gate_keys(batch: pa.Table) -> pa.Table:
+        # one pass emits the survivor keys AND their n_chars, so the
+        # keep-longest step later never needs its own text scan
+        mask, n_chars = _gate_mask(batch.column("text"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_chars": n_chars,
+            }
+        ).filter(mask)
+
     gated_keys = (
         _docs(sf_dir, ["doc_id", "lang", "text"])
-        .map_batches(gate, batch_format="pyarrow")
-        .drop_columns(["text"])
+        .map_batches(gate_keys, batch_format="pyarrow")
         .materialize()
     )
     n_docs = gated_keys.count()
@@ -1606,6 +1621,9 @@ def training_set(
         mref = ray.put(member)
 
         def lens(batch: pa.Table) -> pa.Table:
+            # probe the materialized (doc_id, lang, n_chars) keys against
+            # the sparse member broadcast — no text scan: n_chars rode out
+            # of the single gate pass
             m = get_broadcast(mref)
             ids = batch.column("doc_id").to_pylist()
             keep = [i in m for i in ids]
@@ -1617,14 +1635,12 @@ def training_set(
                         [m[i] for i in sub_ids], pa.int64()
                     ),
                     "doc_id": pc.cast(sub.column("doc_id"), pa.int64()),
-                    "n_chars": pc.cast(
-                        pc.utf8_length(sub.column("text")), pa.int64()
-                    ),
+                    "n_chars": pc.cast(sub.column("n_chars"), pa.int64()),
                 }
             )
 
         mem = _collect_table(
-            gated_text().map_batches(lens, batch_format="pyarrow"),
+            gated_keys.map_batches(lens, batch_format="pyarrow"),
             empty_schema=pa.schema(
                 [("cluster_id", pa.int64()), ("doc_id", pa.int64()),
                  ("n_chars", pa.int64())]
