@@ -598,9 +598,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_upsert": relational.orders_upsert,
         "revenue_running_total": relational.revenue_running_total,
         "order_priority_rank": relational.order_priority_rank,
-        # ---- SQL-ORACLED, outside the window (driver-green in r03) ----
+        # ---- SQL-ORACLED, outside the window (driver-green in r03,
+        #      or oracle-verified in-repo: tests/test_ops.py) ----
         "kg_degree_stats": _kg_degree_stats,
         "kg_cooccurrence": _kg_cooccurrence,
+        "decontaminate": dedup.decontaminate,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1281,6 +1283,23 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000.0 + 0.5) AS BIGINT)
                        AS top_fraction_c6
             FROM c GROUP BY doc_id
+        """,
+        # mirror of ops.dedup.decontaminate: benchmark side is
+        # doc_id % 101 = 0; reuses the shared shingle CTEs (w/g/e) so the
+        # n-gram semantics cannot drift from the pair-graph oracles
+        "decontaminate": f"""
+            WITH {_NGRAM_PAIRS_CTES},
+            bench AS (SELECT DISTINCT sh FROM e WHERE doc_id % 101 = 0),
+            train AS (SELECT doc_id, sh FROM e WHERE doc_id % 101 <> 0),
+            szt AS (SELECT doc_id, count(*) AS n_shingles
+                    FROM train GROUP BY doc_id),
+            hitt AS (SELECT t.doc_id, count(*) AS n_hit
+                     FROM train t JOIN bench USING (sh) GROUP BY t.doc_id)
+            SELECT h.doc_id, s.n_shingles, h.n_hit,
+                   CAST(floor(CAST(h.n_hit AS DOUBLE) * 1000000.0
+                              / CAST(s.n_shingles AS DOUBLE) + 0.5)
+                        AS BIGINT) AS hit_frac_c6
+            FROM hitt h JOIN szt s ON s.doc_id = h.doc_id
         """,
         "kg_domain_stats_sql": _domain_stats_oracle(),
         "kg_degree_stats": _degree_stats_oracle(),

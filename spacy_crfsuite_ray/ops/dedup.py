@@ -1696,3 +1696,162 @@ def training_set(
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------- decontamination
+# The broadcast cap IS the documented partitioning assumption: real
+# benchmark/eval suites are megabytes of text, so their distinct shingles
+# fit one object-store put even when the training corpus is 100 TB. The
+# gated twin below covers the degenerate case of a huge benchmark side.
+DECONTAM_BROADCAST_MAX_SHINGLES = 5_000_000
+DECONTAM_BENCH_MOD = 101
+
+
+def decontaminate(
+    sf_dir: str,
+    ngram_k: int = 3,
+    bench_mod: int = DECONTAM_BENCH_MOD,
+) -> "rd.Dataset":
+    """Benchmark decontamination (the GPT-3 / Gopher pipeline step): flag
+    every training document that shares word-k-gram shingles with a
+    held-out benchmark set. The synthetic benchmark side is
+    ``doc_id % bench_mod == 0`` (deterministic, ~1% of docs — standing in
+    for the eval-suite text a real pipeline would load); output is one row
+    per CONTAMINATED training doc: (doc_id, n_shingles, n_hit,
+    hit_frac_c6) — bounded by contamination, not corpus size.
+
+    100 TB shape: the benchmark side is small by construction, so its
+    distinct shingle strings broadcast once via ``ray.put`` and every
+    training batch probes with one vectorized ``pc.is_in`` — training text
+    streams column-pruned with ZERO shuffle (shingle, probe and per-doc
+    fold all happen inside one ``map_batches``; a doc's shingles never
+    leave its batch). Above ``DECONTAM_BROADCAST_MAX_SHINGLES`` the gated
+    twin inner-joins the exploded training shingles against the benchmark
+    shingle Dataset and folds with a groupby (equality-tested in
+    tests/test_ops.py)."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    src = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        sub = batch.filter(pa.array(ids % bench_mod == 0))
+        shs: set = set()
+        for text in sub.column("text").to_pylist():
+            shs.update(word_shingles(text, ngram_k))
+        return pa.table({"sh": pa.array(sorted(shs), pa.string())})
+
+    bench_sh = src.map_batches(
+        bench_shingles, batch_format="pyarrow"
+    ).groupby("sh").count().drop_columns(["count()"]).materialize()
+
+    if bench_sh.count() > DECONTAM_BROADCAST_MAX_SHINGLES:
+        return _decontam_joined(src, bench_sh, ngram_k, bench_mod)
+
+    bench_arr = _collect_table(
+        bench_sh, empty_schema=pa.schema([("sh", pa.string())])
+    ).column("sh").combine_chunks()
+    bref = ray.put(bench_arr)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_shingles", pa.int64()),
+         ("n_hit", pa.int64()), ("hit_frac_c6", pa.int64())]
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bench = get_broadcast(bref)
+        ids_in = np.asarray(batch.column("doc_id"), np.int64)
+        sub = batch.filter(pa.array(ids_in % bench_mod != 0))
+        shs: List[str] = []
+        ids: List[int] = []
+        szs: List[int] = []
+        for doc_id, text in zip(
+            sub.column("doc_id").to_pylist(), sub.column("text").to_pylist()
+        ):
+            s = set(word_shingles(text, ngram_k))
+            shs.extend(s)
+            ids.extend([doc_id] * len(s))
+            szs.extend([len(s)] * len(s))
+        if not shs:
+            return out_schema.empty_table()
+        hit = pc.cast(
+            pc.is_in(pa.array(shs, pa.string()), value_set=bench),
+            pa.int64(),
+        )
+        agg = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_shingles": pa.array(szs, pa.int64()),
+             "n_hit": hit}
+        ).group_by(["doc_id", "n_shingles"]).aggregate([("n_hit", "sum")]) \
+            .rename_columns(["doc_id", "n_shingles", "n_hit"])
+        return _decontam_finish(agg)
+
+    return src.map_batches(probe, batch_format="pyarrow")
+
+
+def _decontam_finish(agg: pa.Table) -> pa.Table:
+    """Keep contaminated docs only; hit_frac_c6 = floor(hit/sz*1e6 + .5)
+    from identical int64s via IEEE doubles on both engines."""
+    agg = agg.filter(pc.greater(agg.column("n_hit"), 0))
+    n_hit = np.asarray(agg.column("n_hit"), np.int64)
+    sz = np.asarray(agg.column("n_shingles"), np.int64)
+    frac = np.floor(
+        n_hit.astype(np.float64) * 1_000_000.0 / sz.astype(np.float64) + 0.5
+    ).astype(np.int64)
+    return pa.table(
+        {"doc_id": agg.column("doc_id"),
+         "n_shingles": agg.column("n_shingles"),
+         "n_hit": agg.column("n_hit"),
+         "hit_frac_c6": pa.array(frac, pa.int64())}
+    )
+
+
+def _decontam_joined(src, bench_sh, ngram_k: int, bench_mod: int):
+    """Distributed twin for a benchmark side too big to broadcast: explode
+    training shingles (df-unbounded here — every row carries its doc's sz),
+    inner-join on the shingle against the benchmark Dataset (the join
+    shuffles shingle rows, never document text), then a per-batch
+    (doc_id, sz) count combiner + one small groupby over contaminated docs
+    only."""
+    from ..functions.cluster import join_partitions
+    from ..functions.tables import stable_rename
+
+    def train_filter(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        return batch.filter(pa.array(ids % bench_mod != 0))
+
+    ex = src.map_batches(train_filter, batch_format="pyarrow").map_batches(
+        _ngram_explode(ngram_k), batch_format="pyarrow"
+    )
+    parts = join_partitions()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n_shingles", pa.int64()),
+                 ("n_hit", pa.int64())]
+            ).empty_table()
+        t = pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_shingles": batch.column("sz"),
+             "n_hit": pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+        return t.group_by(["doc_id", "n_shingles"]) \
+            .aggregate([("n_hit", "sum")]) \
+            .rename_columns(["doc_id", "n_shingles", "n_hit"])
+
+    hits = (
+        ex.join(bench_sh, join_type="inner", num_partitions=parts,
+                on=("sh",))
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["doc_id", "n_shingles"])
+        .sum("n_hit")
+        .map_batches(
+            stable_rename(["doc_id", "n_shingles", "n_hit"],
+                          [pa.int64(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+    )
+    return hits.map_batches(_decontam_finish, batch_format="pyarrow")

@@ -52,7 +52,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "chunk_dup_stats", "top_bigram_fraction", "dup_clusters",
     "stratified_sample", "dup_keep_best", "event_value_quantiles",
     "orders_upsert", "training_set", "revenue_running_total",
-    "order_priority_rank",
+    "order_priority_rank", "decontaminate",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
@@ -90,6 +90,23 @@ def test_ngram_jaccard_joined_equals_driver(ray_session, monkeypatch):
     assert len(driver) > 0
     assert (
         set(map(tuple, driver[key].itertuples(index=False)))
+        == set(map(tuple, joined[key].itertuples(index=False)))
+    )
+
+
+def test_decontaminate_joined_equals_broadcast(ray_session, monkeypatch):
+    """Above DECONTAM_BROADCAST_MAX_SHINGLES the benchmark probe runs as a
+    shingle inner-join + per-doc groupby instead of a broadcast is_in.
+    Forced here, it must emit exactly the broadcast path's rows."""
+    from spacy_crfsuite_ray.ops import dedup
+
+    broadcast = _df(dedup.decontaminate(SF))
+    monkeypatch.setattr(dedup, "DECONTAM_BROADCAST_MAX_SHINGLES", 0)
+    joined = _df(dedup.decontaminate(SF))
+    key = ["doc_id", "n_shingles", "n_hit", "hit_frac_c6"]
+    assert len(broadcast) > 0
+    assert (
+        set(map(tuple, broadcast[key].itertuples(index=False)))
         == set(map(tuple, joined[key].itertuples(index=False)))
     )
 
