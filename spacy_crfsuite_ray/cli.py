@@ -47,8 +47,10 @@ def cmd_train(args) -> int:
         import ray
 
         if not ray.is_initialized():
-            ray.init(address="local", include_dashboard=False,
-                     logging_level="ERROR")
+            # no explicit address: RAY_ADDRESS decides (preset "local" in this
+            # sandbox; the cluster address under `ray job submit`), so the
+            # same CLI is both the local entrypoint and the job entrypoint
+            ray.init(include_dashboard=False, logging_level="ERROR")
         from .pipelines.train import fine_tune
 
         best, score, _ = fine_tune(samples, base_config=config)
@@ -99,8 +101,8 @@ def cmd_kg(args) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # RAY_ADDRESS decides (see cmd_train) — job-submit compatible
+        ray.init(include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
