@@ -177,6 +177,15 @@ def _kg_degree_stats(sf_dir: str):
     return degree_stats_from_edges(_kg_edge_src_dst(sf_dir))
 
 
+def _kg_triangles(sf_dir: str):
+    """Total triangle count of the constructed KG (undirected simple
+    graph) — the local-clustering evidence signal. Oracle: 3-way self-join
+    over the pipeline's OWN written edges parquet."""
+    from spacy_crfsuite_ray.ops.graph import triangle_count_from_edges
+
+    return triangle_count_from_edges(_kg_edge_src_dst(sf_dir))
+
+
 def _kg_cooccurrence(sf_dir: str):
     """Pages-of-co-mention counts for every unordered pair of distinct
     entity mentions — the evidence-weighted KG-enrichment edge. Oracle
@@ -299,6 +308,24 @@ def _domain_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
                CAST(count(*) AS BIGINT) AS n_triples
         FROM read_parquet('{path}')
         GROUP BY domain
+    """
+
+
+def _triangles_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    # 3-way self-join over the pipeline's OWN written edges parquet on the
+    # u<v canonical undirected edge set (binary collation == Arrow/numpy
+    # byte order on the ASCII hex node ids); counts each triangle once
+    n = _n_pages(sf_dir)
+    path = f"/tmp/scr_pages_n{n}/out_v2/edges/shard=all/*.parquet"
+    return f"""
+        WITH raw AS (SELECT subj_id AS s, obj_id AS o
+                     FROM read_parquet('{path}')),
+        e AS (SELECT DISTINCT least(s, o) AS u, greatest(s, o) AS v
+              FROM raw WHERE s <> o)
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
     """
 
 
@@ -603,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_stats": _kg_degree_stats,
         "kg_cooccurrence": _kg_cooccurrence,
         "decontaminate": dedup.decontaminate,
+        "kg_triangles": _kg_triangles,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1303,6 +1331,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_domain_stats_sql": _domain_stats_oracle(),
         "kg_degree_stats": _degree_stats_oracle(),
+        "kg_triangles": _triangles_oracle(),
         "kg_cooccurrence": _cooccurrence_oracle(),
         "kg_triples": _triples_oracle(),
         "kg_edges": _edges_oracle(),

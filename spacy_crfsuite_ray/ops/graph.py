@@ -474,3 +474,199 @@ def cooccurrence_from_mentions(ds, rows_hint: int | None = None):
     if rows_hint is not None and rows_hint <= COOC_DRIVER_MAX_ROWS:
         return _cooc_driver(keyed)
     return _cooc_joined(keyed, rows_hint)
+
+
+# ------------------------------------------------------------- triangles
+# Driver gate is lower than PageRank's: the driver twin enumerates wedges
+# (~m^1.5 work), not linear passes.
+TRIANGLES_DRIVER_MAX_EDGES = 500_000
+
+
+def _tri_canon_batch(batch: pa.Table) -> pa.Table:
+    """(src, dst) → canonical undirected simple edges: self-loops dropped,
+    endpoints ordered u < v (byte order — node ids are ASCII hex, so Arrow,
+    numpy and DuckDB's binary collation all agree)."""
+    s = pc.cast(batch.column("src"), pa.string())
+    d = pc.cast(batch.column("dst"), pa.string())
+    keep = pc.invert(pc.equal(s, d))
+    s = s.filter(keep)
+    d = d.filter(keep)
+    lt = pc.less(s, d)
+    return pa.table(
+        {"u": pc.if_else(lt, s, d), "v": pc.if_else(lt, d, s)}
+    ).group_by(["u", "v"]).aggregate([])
+
+
+def _triangles_driver(u: np.ndarray, v: np.ndarray) -> int:
+    """Forward algorithm: orient every edge from the (degree, node)-smaller
+    endpoint, then for each low vertex emit its oriented-neighbor pairs
+    (wedges) and count the ones that are edges. Wedge work is bounded by
+    m^1.5 regardless of hub skew — the same orientation the distributed
+    twin uses, so both count each triangle exactly once at its
+    lowest-ordered vertex."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    n_nodes = len(nodes)
+    deg = np.bincount(np.concatenate([ui, vi]), minlength=n_nodes)
+    # relabel every node by its (deg, node) rank — nodes from np.unique are
+    # sorted, so (deg, index) is exactly the distributed twin's
+    # (deg, node-string) order, and in rank space plain integer comparison
+    # IS the orientation (wedge pairs and closing edges can't disagree)
+    by_order = np.lexsort((np.arange(n_nodes), deg))
+    rank = np.empty(n_nodes, np.int64)
+    rank[by_order] = np.arange(n_nodes)
+    ru, rv = rank[ui], rank[vi]
+    a = np.minimum(ru, rv)
+    b = np.maximum(ru, rv)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    starts = np.searchsorted(a, np.arange(n_nodes))
+    ends = np.searchsorted(a, np.arange(n_nodes), side="right")
+    n = np.int64(n_nodes)
+    edge_keys = a * n + b  # sorted ascending by construction
+    total = 0
+    for x in range(n_nodes):
+        nb = np.sort(b[starts[x]:ends[x]])
+        if len(nb) < 2:
+            continue
+        lo = np.repeat(nb, np.arange(len(nb) - 1, -1, -1))
+        hi = np.concatenate([nb[i + 1:] for i in range(len(nb))])
+        keys = lo * n + hi
+        pos = np.searchsorted(edge_keys, keys)
+        pos_c = np.minimum(pos, len(edge_keys) - 1)
+        total += int(
+            ((pos < len(edge_keys)) & (edge_keys[pos_c] == keys)).sum()
+        )
+    return total
+
+
+def _triangles_distributed(canon) -> int:
+    """Distributed twin over a canonical (u, v) edge Dataset: degree
+    groupby, two hash-joins to orient every edge low→high by (deg, node),
+    a self-join on the low vertex to emit wedges (filtered to the same
+    (deg, node) order so each wedge appears once), and a closing
+    inner-join against the oriented edges. All shuffles are hash-joins on
+    node keys; per-vertex wedge fan-out is bounded by the orientation
+    (≤ sqrt(2m) oriented out-degree), the standard hub-skew mitigation."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.cluster import join_partitions
+    from ..functions.tables import stable_rename
+
+    canon = canon.materialize()
+    parts = join_partitions(rows=canon.count())
+
+    def endpoint_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [batch.column("u").combine_chunks(),
+                     batch.column("v").combine_chunks()]
+                ),
+                "n": pa.array(np.ones(2 * batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by("node").aggregate([("n", "sum")]) \
+            .rename_columns(["node", "n"])
+
+    deg = (
+        canon.map_batches(endpoint_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum("n")
+        .map_batches(
+            stable_rename(["node", "deg"], [pa.string(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+    )
+    deg_u = deg.map_batches(
+        lambda t: t.rename_columns(["u", "deg_u"]), batch_format="pyarrow"
+    )
+    deg_v = deg.map_batches(
+        lambda t: t.rename_columns(["v", "deg_v"]), batch_format="pyarrow"
+    )
+    j = canon.join(deg_u, join_type="inner", num_partitions=parts,
+                   on=("u",)).join(
+        deg_v, join_type="inner", num_partitions=parts, on=("v",)
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        du = pc.cast(batch.column("deg_u"), pa.int64())
+        dv = pc.cast(batch.column("deg_v"), pa.int64())
+        u = batch.column("u")
+        v = batch.column("v")
+        u_first = pc.or_(
+            pc.less(du, dv),
+            pc.and_(pc.equal(du, dv), pc.less(u, v)),
+        )
+        return pa.table(
+            {
+                "a": pc.if_else(u_first, u, v),
+                "b": pc.if_else(u_first, v, u),
+                "deg_b": pc.if_else(u_first, dv, du),
+            }
+        )
+
+    oriented = j.map_batches(orient, batch_format="pyarrow").materialize()
+    o1 = oriented.map_batches(
+        lambda t: t.rename_columns(["a", "b", "deg_b"]),
+        batch_format="pyarrow",
+    )
+    o2 = oriented.map_batches(
+        lambda t: t.rename_columns(["a", "c", "deg_c"]),
+        batch_format="pyarrow",
+    )
+
+    def wedge_filter(batch: pa.Table) -> pa.Table:
+        db = pc.cast(batch.column("deg_b"), pa.int64())
+        dc = pc.cast(batch.column("deg_c"), pa.int64())
+        b = batch.column("b")
+        c = batch.column("c")
+        keep = pc.or_(
+            pc.less(db, dc), pc.and_(pc.equal(db, dc), pc.less(b, c))
+        )
+        sub = batch.filter(keep)
+        return pa.table({"b": sub.column("b"), "c": sub.column("c")})
+
+    wedges = o1.join(
+        o2, join_type="inner", num_partitions=parts, on=("a",)
+    ).map_batches(wedge_filter, batch_format="pyarrow")
+    closing = oriented.map_batches(
+        lambda t: pa.table({"b": t.column("a"), "c": t.column("b")}),
+        batch_format="pyarrow",
+    )
+    closed = wedges.join(
+        closing, join_type="inner", num_partitions=parts, on=("b", "c")
+    )
+    return int(closed.count())
+
+
+def triangle_count_from_edges(edges) -> pa.Table:
+    """Total triangle count of the undirected simple graph under a
+    directed (src, dst) edge table OR Dataset (duplicate edges, reverse
+    edges and self-loops collapse first). Threshold-gated driver /
+    distributed twins using the SAME (degree, node) edge orientation, so
+    both count each triangle exactly once (equality-tested)."""
+    import ray.data as rd
+
+    from ..functions.tables import collect_table
+
+    as_dataset = isinstance(edges, rd.Dataset)
+    n_edges = edges.count() if as_dataset else edges.num_rows
+    if n_edges == 0:
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+    if n_edges > TRIANGLES_DRIVER_MAX_EDGES:
+        ds = edges if as_dataset else rd.from_arrow(edges)
+        canon = ds.map_batches(_tri_canon_batch, batch_format="pyarrow") \
+            .groupby(["u", "v"]).count().drop_columns(["count()"])
+        total = _triangles_distributed(canon)
+        return pa.table({"n_triangles": pa.array([total], pa.int64())})
+    tbl = edges if not as_dataset else collect_table(
+        edges, empty_schema=pa.schema([("src", pa.string()),
+                                       ("dst", pa.string())])
+    )
+    canon = _tri_canon_batch(tbl)
+    total = _triangles_driver(
+        np.asarray(canon.column("u"), dtype=object),
+        np.asarray(canon.column("v"), dtype=object),
+    )
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})

@@ -110,3 +110,43 @@ def test_cooccurrence_joined_equals_driver(ray_session, monkeypatch):
     joined = run()
     assert driver.equals(joined)
     assert len(driver) > 0
+
+
+def test_triangle_count_known_graph(ray_session):
+    """K4 has 4 triangles; duplicate / reverse / self edges collapse."""
+    import pyarrow as pa
+
+    from spacy_crfsuite_ray.ops.graph import triangle_count_from_edges
+
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("b", "a"), ("a", "a"), ("c", "d")]
+    tbl = pa.table({"src": pa.array([p[0] for p in pairs], pa.string()),
+                    "dst": pa.array([p[1] for p in pairs], pa.string())})
+    assert triangle_count_from_edges(tbl).to_pydict() == {"n_triangles": [4]}
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+    assert triangle_count_from_edges(empty).to_pydict() == {
+        "n_triangles": [0]
+    }
+
+
+def test_triangle_distributed_equals_driver(ray_session, monkeypatch):
+    """Forced past the gate, the oriented-wedge join pipeline must count
+    exactly what the driver forward algorithm counts (both orient by
+    (degree, node), so each triangle is counted once at the same vertex)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from spacy_crfsuite_ray.ops import graph
+
+    rng = np.random.default_rng(7)
+    e = rng.integers(0, 60, size=(600, 2))
+    tbl = pa.table(
+        {"src": pa.array([f"n{a}" for a, _ in e], pa.string()),
+         "dst": pa.array([f"n{b}" for _, b in e], pa.string())}
+    )
+    driver = graph.triangle_count_from_edges(tbl).to_pydict()
+    monkeypatch.setattr(graph, "TRIANGLES_DRIVER_MAX_EDGES", 0)
+    dist = graph.triangle_count_from_edges(tbl).to_pydict()
+    assert driver == dist
+    assert driver["n_triangles"][0] > 0

@@ -40,6 +40,7 @@ def _compare(ray_result, sql):
         ("kg_edges", E._edges_oracle),
         ("kg_mentions", E._mentions_oracle),
         ("kg_nodes", E._nodes_oracle),
+        ("kg_triangles", E._triangles_oracle),
     ],
 )
 def test_kg_output_matches_oracle(ray_session, name, oracle):
