@@ -631,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence": _kg_cooccurrence,
         "decontaminate": dedup.decontaminate,
         "kg_triangles": _kg_triangles,
+        "token_rarity": text.token_rarity,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1311,6 +1312,33 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000.0 + 0.5) AS BIGINT)
                        AS top_fraction_c6
             FROM c GROUP BY doc_id
+        """,
+        # mirror of ops.text.token_rarity: per-term rarity total/count(term)
+        # rounded c6 BEFORE the per-doc sum (order-independent int64 adds on
+        # both engines); same token regex + lower() as the tfidf oracle
+        "token_rarity": """
+            WITH raw AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[A-Za-z]+')) AS t
+                FROM documents),
+            toks AS (SELECT doc_id, lower(t) AS term FROM raw),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n
+                      FROM tf GROUP BY term),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM vocab),
+            contrib AS (
+                SELECT tf.doc_id, tf.tf,
+                       CAST(floor(CAST(tot.total AS DOUBLE)
+                                  / CAST(v.n AS DOUBLE) * 1000000.0 + 0.5)
+                            AS BIGINT) AS r
+                FROM tf JOIN vocab v USING (term) CROSS JOIN tot)
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(floor(CAST(sum(tf * r) AS DOUBLE)
+                              / CAST(sum(tf) AS DOUBLE) + 0.5)
+                        AS BIGINT) AS mean_rarity_c6
+            FROM contrib GROUP BY doc_id
         """,
         # mirror of ops.dedup.decontaminate: benchmark side is
         # doc_id % 101 = 0; reuses the shared shingle CTEs (w/g/e) so the

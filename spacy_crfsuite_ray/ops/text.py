@@ -702,3 +702,161 @@ def stratified_sample(sf_dir: str, k: int = 50) -> "rd.Dataset":
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------- token rarity
+RARITY_BROADCAST_MAX_TERMS = 2_000_000
+
+
+def _rarity_c6(counts: np.ndarray, total: int) -> np.ndarray:
+    """Per-term rarity total/count, integer-scaled c6 — the transcendental-
+    free stand-in for a unigram-LM -log p (same ranking direction; the
+    log-free form is chosen for the same reason as _tfidf_score: divide is
+    an exact IEEE op on both engines, ln() may differ in the last ulp
+    across libms). int64 headroom needs total*1e6 < 2^63 — ~9e12 tokens
+    per scored corpus; beyond that drop the scale to c3."""
+    return np.floor(
+        np.float64(total) / counts.astype(np.float64) * 1_000_000.0 + 0.5
+    ).astype(np.int64)
+
+
+def token_rarity(sf_dir: str) -> "rd.Dataset":
+    """Corpus-LM quality score per document (the CCNet shape with a
+    unigram model trained on the corpus itself): mean token rarity, where
+    rarity(t) = total_tokens / count(t) — high mean ⇒ improbable text
+    under the corpus distribution (the docs a perplexity gate would
+    prune). Output (doc_id, n_tokens, mean_rarity_c6); token-less docs
+    drop (no distribution to score against).
+
+    100 TB shape: pass 1 is the `_term_rows_batch` per-doc Counter
+    combiner + one (term) groupby — the shuffle moves unique terms per
+    doc, never tokens; the vocabulary (Zipf-bounded, ≪ corpus) broadcasts
+    once and pass 2 is batch-local (zero shuffle). Above
+    RARITY_BROADCAST_MAX_TERMS the gated twin hash-joins term rows against
+    the vocab Dataset and folds per-doc sums with a groupby
+    (equality-tested). Per-term rarity is rounded c6 BEFORE the per-doc
+    integer sum, so both engines add the same int64s in any order."""
+    import pyarrow.parquet as pq
+
+    term_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _term_rows_batch, batch_format="pyarrow"
+    )
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n_docs < 1_000_000:
+        term_rows = term_rows.repartition(2)
+    vocab = (
+        term_rows.groupby("term")
+        .sum("tf")
+        .map_batches(lambda b: b.rename_columns(["term", "n"]),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    total = 0
+    for b in vocab.iter_batches(batch_format="pyarrow", batch_size=None):
+        total += int(pc.sum(b.column("n")).as_py() or 0)
+    if vocab.count() > RARITY_BROADCAST_MAX_TERMS:
+        return _rarity_joined(sf_dir, vocab, total, n_docs)
+
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    n_of: dict = {}
+    for b in vocab.iter_batches(batch_format="pyarrow", batch_size=None):
+        n_of.update(zip(b.column("term").to_pylist(),
+                        b.column("n").to_pylist()))
+    ref = ray.put(n_of)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = get_broadcast(ref)
+        rows = _term_rows_batch(batch)
+        ids = np.asarray(rows.column("doc_id"), dtype=np.int64)
+        tfs = np.asarray(rows.column("tf"), dtype=np.int64)
+        terms = rows.column("term").to_pylist()
+        if not terms:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "mean_rarity_c6": pa.array([], pa.int64())}
+            )
+        cnt = np.fromiter((lut[t] for t in terms), dtype=np.int64,
+                          count=len(terms))
+        contrib = tfs * _rarity_c6(cnt, total)
+        # rows are doc-contiguous (built that way) — segment sums
+        bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(ids))[0] + 1, [len(ids)]]
+        )
+        doc_ids = ids[bounds[:-1]]
+        sums = np.add.reduceat(contrib, bounds[:-1])
+        ntok = np.add.reduceat(tfs, bounds[:-1])
+        mean = np.floor(
+            sums.astype(np.float64) / ntok.astype(np.float64) + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "n_tokens": pa.array(ntok, pa.int64()),
+             "mean_rarity_c6": pa.array(mean, pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def _rarity_joined(sf_dir: str, vocab, total: int, n_docs: int):
+    """At-scale twin: term rows ⋈ vocab on the term, per-batch
+    (doc_id → contrib, tf) partial sums, one doc_id groupby. Byte-identical
+    to the broadcast path (same c6-rounded per-term rarity)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.cluster import join_partitions
+    from ..functions.tables import stable_rename
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _term_rows_batch, batch_format="pyarrow"
+    )
+    j = rows.join(
+        vocab, join_type="inner",
+        num_partitions=join_partitions(rows=n_docs), on=("term",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("contrib", pa.int64()),
+                 ("n_tokens", pa.int64())]
+            ).empty_table()
+        tfs = np.asarray(batch.column("tf"), dtype=np.int64)
+        cnt = np.asarray(batch.column("n"), dtype=np.int64)
+        t = pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "contrib": pa.array(tfs * _rarity_c6(cnt, total), pa.int64()),
+             "n_tokens": pa.array(tfs, pa.int64())}
+        )
+        return t.group_by("doc_id").aggregate(
+            [("contrib", "sum"), ("n_tokens", "sum")]
+        ).rename_columns(["doc_id", "contrib", "n_tokens"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sums = np.asarray(batch.column("contrib"), dtype=np.int64)
+        ntok = np.asarray(batch.column("n_tokens"), dtype=np.int64)
+        mean = np.floor(
+            sums.astype(np.float64) / ntok.astype(np.float64) + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_tokens": batch.column("n_tokens"),
+             "mean_rarity_c6": pa.array(mean, pa.int64())}
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("contrib"), Sum("n_tokens"))
+        .map_batches(
+            stable_rename(["doc_id", "contrib", "n_tokens"],
+                          [pa.int64(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -52,7 +52,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "chunk_dup_stats", "top_bigram_fraction", "dup_clusters",
     "stratified_sample", "dup_keep_best", "event_value_quantiles",
     "orders_upsert", "training_set", "revenue_running_total",
-    "order_priority_rank", "decontaminate",
+    "order_priority_rank", "decontaminate", "token_rarity",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
@@ -90,6 +90,23 @@ def test_ngram_jaccard_joined_equals_driver(ray_session, monkeypatch):
     assert len(driver) > 0
     assert (
         set(map(tuple, driver[key].itertuples(index=False)))
+        == set(map(tuple, joined[key].itertuples(index=False)))
+    )
+
+
+def test_token_rarity_joined_equals_broadcast(ray_session, monkeypatch):
+    """Above RARITY_BROADCAST_MAX_TERMS the vocab lookup becomes a term
+    hash-join + doc_id groupby. Forced here, it must emit exactly the
+    broadcast path's rows (same c6-rounded per-term rarity)."""
+    from spacy_crfsuite_ray.ops import text
+
+    broadcast = _df(text.token_rarity(SF))
+    monkeypatch.setattr(text, "RARITY_BROADCAST_MAX_TERMS", 0)
+    joined = _df(text.token_rarity(SF))
+    key = ["doc_id", "n_tokens", "mean_rarity_c6"]
+    assert len(broadcast) > 0
+    assert (
+        set(map(tuple, broadcast[key].itertuples(index=False)))
         == set(map(tuple, joined[key].itertuples(index=False)))
     )
 
