@@ -751,9 +751,9 @@ def token_rarity(sf_dir: str) -> "rd.Dataset":
                      batch_format="pyarrow")
         .materialize()
     )
-    total = 0
-    for b in vocab.iter_batches(batch_format="pyarrow", batch_size=None):
-        total += int(pc.sum(b.column("n")).as_py() or 0)
+    # distributed scalar fold — ONE int64 reaches the driver, so the
+    # at-scale (joined) path never pulls the vocabulary driver-side
+    total = int(vocab.sum("n") or 0)
     if vocab.count() > RARITY_BROADCAST_MAX_TERMS:
         return _rarity_joined(sf_dir, vocab, total, n_docs)
 
