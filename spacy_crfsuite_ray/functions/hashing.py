@@ -7,6 +7,7 @@ resume/dedup never depend on execution order (SURVEY.md §4 determinism row).
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 from typing import Iterable, List
 
@@ -36,8 +37,15 @@ def char_shingles(text: str, k: int = 3) -> List[str]:
     return [text[i:i + k] for i in range(len(text) - k + 1)]
 
 
+# ASCII \s+, NOT str.split(): the SQL oracles' shared shingle CTE splits
+# with DuckDB's RE2 '\s+' (ASCII-only), while str.split() also splits on
+# Unicode whitespace (NBSP etc.) — the two would silently disagree on any
+# non-ASCII-whitespace corpus. re.ASCII pins Python to the RE2 semantics.
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
 def word_shingles(text: str, k: int = 3) -> List[str]:
-    words = text.split()
+    words = [w for w in _WS_ASCII.split(text) if w] if text else []
     if len(words) < k:
         return [" ".join(words)] if words else []
     return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]

@@ -866,36 +866,100 @@ def dup_ngram_fraction(sf_dir: str, k: int = 3) -> "rd.Dataset":
     """Within-document duplicate word-k-gram fraction (the Gopher
     repetition signal next to `top_bigram_fraction`): per doc,
     1 − distinct/total k-gram occurrences — high values flag boilerplate
-    and degenerate repetition. Zero shuffle: shingle, dedupe and the c6
-    division all happen batch-locally inside one map_batches (a doc never
-    spans batches); docs with no shingles drop (nothing to measure).
-    Shingle semantics are `word_shingles` — identical to the n-gram pair
-    oracles' shared CTEs, so the SQL twin cannot drift."""
-    from ..functions.hashing import word_shingles
+    and degenerate repetition. Zero shuffle: split, k-gram construction,
+    dedupe and the c6 division all happen batch-locally inside one
+    map_batches (a doc never spans batches); docs with no words drop
+    (nothing to measure), docs with fewer than k words contribute their
+    single whole-text shingle (dup fraction 0) — exactly the shared
+    shingle CTEs' semantics, so the SQL twin cannot drift. The registered
+    oracle covers the default k=3 (the CTEs are trigram-fixed). Fully
+    vectorized: Arrow RE2 split (byte-identical to DuckDB's
+    regexp_split_to_array '\\s+'), list-offset k-gram joins, one Arrow
+    group_by per batch — no per-token Python."""
 
     def frac(batch: pa.Table) -> pa.Table:
-        ids: list = []
-        tot: list = []
-        nd: list = []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("text").to_pylist(),
-        ):
-            shs = word_shingles(text, k)
-            if not shs:
-                continue
-            ids.append(doc_id)
-            tot.append(len(shs))
-            nd.append(len(set(shs)))
-        total = np.asarray(tot, dtype=np.int64)
-        dist = np.asarray(nd, dtype=np.int64)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_ngrams": pa.array([], pa.int64()),
+             "n_distinct": pa.array([], pa.int64()),
+             "dup_frac_c6": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        lst = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        raw_counts = pc.list_value_length(lst).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = lst.flatten()
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        doc_of_word = np.repeat(
+            np.arange(len(raw_counts)), raw_counts
+        )[keep_np]
+        flat = flat.filter(keep)
+        counts = np.bincount(doc_of_word, minlength=len(raw_counts))
+        offs = np.concatenate([[0], np.cumsum(counts)])
+
+        grams: list = []
+        gram_docs: list = []
+        # long docs (>= k words): window joins via offset takes
+        long_mask = counts >= k
+        if long_mask.any():
+            n_g = counts - (k - 1)
+            starts = np.concatenate(
+                [np.arange(offs[d], offs[d] + n_g[d])
+                 for d in np.nonzero(long_mask)[0]]
+            )
+            parts = [flat.take(pa.array(starts + j, pa.int64()))
+                     for j in range(k)]
+            joined = parts[0]
+            for piece in parts[1:]:
+                joined = pc.binary_join_element_wise(joined, piece, " ")
+            grams.append(joined)
+            gram_docs.append(
+                np.repeat(np.nonzero(long_mask)[0], n_g[long_mask])
+            )
+        # short docs (0 < words < k): ONE whole-text shingle each (the
+        # shared CTEs' CASE branch)
+        short = np.nonzero((counts > 0) & (counts < k))[0]
+        if len(short):
+            idx = np.concatenate(
+                [np.arange(offs[d], offs[d + 1]) for d in short]
+            )
+            sub = pa.ListArray.from_arrays(
+                pa.array(
+                    np.concatenate([[0], np.cumsum(counts[short])]),
+                    pa.int32(),
+                ),
+                flat.take(pa.array(idx, pa.int64())),
+            )
+            grams.append(pc.binary_join(sub, " "))
+            gram_docs.append(short)
+        if not grams:
+            return empty
+        sh = pa.concat_arrays(
+            [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+             for g in grams]
+        )
+        d = pa.array(np.concatenate(gram_docs), pa.int64())
+        per = pa.table({"d": d, "sh": sh}).group_by(["d", "sh"]) \
+            .aggregate([("sh", "count")])
+        agg = per.select(["d", "sh_count"]).group_by("d").aggregate(
+            [("sh_count", "sum"), ([], "count_all")]
+        )
+        total = agg.column("sh_count_sum").to_numpy().astype(np.int64)
+        dist = agg.column("count_all").to_numpy().astype(np.int64)
         dup = np.floor(
             (1.0 - dist.astype(np.float64) / total.astype(np.float64))
             * 1_000_000.0 + 0.5
-        ).astype(np.int64) if len(ids) else np.empty(0, np.int64)
+        ).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": pc.cast(
+                    batch.column("doc_id").take(agg.column("d")), pa.int64()
+                ),
                 "n_ngrams": pa.array(total, pa.int64()),
                 "n_distinct": pa.array(dist, pa.int64()),
                 "dup_frac_c6": pa.array(dup, pa.int64()),
