@@ -451,3 +451,40 @@ def test_empty_input_streams_return_typed_empties(ray_session, tmp_path):
     )
     up = relational.orders_upsert(sf)
     assert up.count() == 0
+
+
+def test_dup_ngram_fraction_short_doc_edges(ray_session, tmp_path, con):
+    """Docs shorter than k words take the whole-text-shingle CTE branch and
+    empty docs drop — the sf fixtures never exercise these, so pin them
+    against the same DuckDB oracle on a synthetic table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from spacy_crfsuite_ray.ops.text import dup_ngram_fraction
+
+    sch = pq.read_schema(f"{SF}/documents.parquet")
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6,
+        "text": ["one two", "", "a b a b a b", "single", "x  y   z",
+                 "w w w"],
+    }
+    cols = {f.name: rows.get(f.name, [None] * 6) for f in sch}
+    t = pa.table({f.name: pa.array(cols[f.name], f.type) for f in sch})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _df(dup_ngram_fraction(str(tmp_path)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    orc = c2.execute(E.oracle_sql()["dup_ngram_fraction"]).fetchdf()
+    key = ["doc_id", "n_ngrams", "n_distinct", "dup_frac_c6"]
+    assert len(got) == 5  # the empty doc dropped
+    assert (
+        set(map(tuple, got[key].itertuples(index=False)))
+        == set(map(tuple, orc[key].itertuples(index=False)))
+    )
