@@ -1855,3 +1855,125 @@ def _decontam_joined(src, bench_sh, ngram_k: int, bench_mod: int):
         )
     )
     return hits.map_batches(_decontam_finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- SemDeDup
+SEMDEDUP_TARGET_CLUSTER = 4096
+SEMDEDUP_RECALL_MAX_ROWS = 20_000
+SEMDEDUP_PROBE = 2
+
+
+def semdedup(
+    sf_dir: str, threshold: float = 0.40, train_sample: int = 100_000
+) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means sharding — embeddings are assigned to a coarse cluster and
+    near-dup pairs are searched ONLY within a cluster, turning the
+    quadratic all-pairs scan into per-cluster matmuls. Output: (a, b,
+    cos_c6, cluster) pairs at cosine ≥ threshold, plus an in-band
+    `recall_c6` stamp vs the exact all-pairs twin (−1 above the gate) —
+    precision is 1.0 by construction (cosines inside a cluster are exact);
+    recall is what clustering trades away (cross-cluster dups).
+
+    100 TB shape: centroids train on a bounded uniform sample (a tiny
+    broadcast model, like IVF); assignment is one streaming map_batches;
+    the per-cluster pair scan is a `groupby(cluster).map_groups` whose
+    group size is CONTROLLED BY K (`n_rows / SEMDEDUP_TARGET_CLUSTER`
+    clusters ⇒ ~4k-row groups ⇒ one ~130 MB matmul per group) — the
+    published algorithm's own sharding, not an unbounded co-location."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+    from .ann import _corpus_meta, _kmeans, _normalize
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    pair_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()),
+         ("cos_c6", pa.int64()), ("cluster", pa.int64())]
+    )
+    if n_rows == 0:
+        got = pair_schema.empty_table()
+        return got.append_column("recall_c6", pa.array([], pa.int64()))
+    n_clusters = max(2, n_rows // SEMDEDUP_TARGET_CLUSTER)
+    _, _dim, sample = _corpus_meta(
+        sf_dir, sample_rows=min(train_sample, n_rows)
+    )
+    cent = _kmeans(_normalize(sample.astype(np.float64)), n_clusters)
+    ref = ray.put(cent)
+
+    probe = min(SEMDEDUP_PROBE, n_clusters)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        # multi-probe: each vector lands in its `probe` nearest clusters
+        # (the IVF trick) — near-dup pairs straddling one boundary still
+        # co-locate somewhere; duplicate discoveries collapse in the final
+        # (a, b) groupby. Cost: x probe rows through the shuffle.
+        c = get_broadcast(ref)
+        mat = _normalize(np.asarray(
+            batch.column("embedding").to_pylist(), dtype=np.float64
+        ))
+        sims = mat @ c.T
+        top = np.argpartition(-sims, probe - 1, axis=1)[:, :probe]
+        n = len(mat)
+        idx = np.repeat(np.arange(n), probe)
+        return pa.table(
+            {
+                "cluster": pa.array(top.reshape(-1).astype(np.int64)),
+                "vec_id": pc.cast(batch.column("vec_id"), pa.int64())
+                .take(pa.array(idx, pa.int64())),
+                "embedding": batch.column("embedding").take(
+                    pa.array(idx, pa.int64())
+                ),
+            }
+        )
+
+    def within(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy(dtype=np.int64)
+        mat = _normalize(np.stack(group["embedding"].to_numpy()).astype(
+            np.float64
+        ))
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        cos = np.floor(sims[ii, jj] * 1_000_000.0 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"a": a, "b": b, "cos_c6": cos,
+             "cluster": np.full(len(a), int(group["cluster"].iloc[0]),
+                                np.int64)}
+        )
+
+    got = _collect_table(
+        read_parquet_nometa(path, columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(within, batch_format="pandas")
+        .groupby(["a", "b", "cos_c6"])
+        .min("cluster")
+        .map_batches(
+            lambda t: t.rename_columns(["a", "b", "cos_c6", "cluster"]),
+            batch_format="pyarrow",
+        ),
+        empty_schema=pair_schema,
+    )
+    if n_rows <= SEMDEDUP_RECALL_MAX_ROWS:
+        tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = _normalize(np.asarray(tbl.column("embedding").to_pylist(),
+                                    dtype=np.float64))
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        exact = set(zip(np.minimum(ids[ii], ids[jj]).tolist(),
+                        np.maximum(ids[ii], ids[jj]).tolist()))
+        found = set(zip(got.column("a").to_pylist(),
+                        got.column("b").to_pylist()))
+        recall = len(exact & found) / max(1, len(exact))
+        c6 = int(np.floor(recall * 1_000_000.0 + 0.5))
+    else:
+        c6 = -1
+    return got.append_column(
+        "recall_c6", pa.array([c6] * got.num_rows, pa.int64())
+    )

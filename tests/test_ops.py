@@ -488,3 +488,34 @@ def test_dup_ngram_fraction_short_doc_edges(ray_session, tmp_path, con):
         set(map(tuple, got[key].itertuples(index=False)))
         == set(map(tuple, orc[key].itertuples(index=False)))
     )
+
+
+def test_semdedup_precision_and_recall_stamp(ray_session):
+    """SemDeDup pairs must be a SUBSET of the exact all-pairs cosine dups
+    (precision 1.0 — within-cluster cosines are exact) and the in-band
+    recall stamp must report the measured overlap."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spacy_crfsuite_ray.ops.ann import _normalize
+    from spacy_crfsuite_ray.ops.dedup import semdedup
+
+    got = semdedup(SF).to_pandas()
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = _normalize(np.asarray(tbl.column("embedding").to_pylist(),
+                                dtype=np.float64))
+    sims = mat @ mat.T
+    ii, jj = np.nonzero(np.triu(sims >= 0.40, k=1))
+    exact = set(zip(np.minimum(ids[ii], ids[jj]).tolist(),
+                    np.maximum(ids[ii], ids[jj]).tolist()))
+    found = set(zip(got["a"], got["b"]))
+    assert found <= exact  # precision 1.0
+    assert len(exact) > 0
+    recall = len(found & exact) / len(exact)
+    assert got["recall_c6"].nunique() == 1
+    assert int(got["recall_c6"].iloc[0]) == int(
+        np.floor(recall * 1_000_000.0 + 0.5)
+    )
+    assert recall >= 0.5
