@@ -648,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _kg_triangles,
         "token_rarity": text.token_rarity,
         "dup_ngram_fraction": text.dup_ngram_fraction,
+        "dup_span_coverage": dedup.dup_span_coverage,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1346,6 +1347,33 @@ def oracle_sql() -> dict[str, str]:
                                      / CAST(t.n_ngrams AS DOUBLE))
                               * 1000000.0 + 0.5) AS BIGINT) AS dup_frac_c6
             FROM tot t JOIN dst d USING (doc_id)
+        """,
+        # mirror of ops.dedup.dup_span_coverage: shared shingle CTEs (w/g/e);
+        # dup = shingles in ≥2 distinct docs; positions via lock-step unnest
+        # of shs and its 1-based index range; coverage = distinct positions
+        # inside any dup window, clipped to the doc (the short-doc whole-text
+        # shingle covers all its words)
+        "dup_span_coverage": f"""
+            WITH {_NGRAM_PAIRS_CTES},
+            dup AS (SELECT sh FROM e GROUP BY sh HAVING count(*) >= 2),
+            pos AS (SELECT g.doc_id, len(w.w) AS n_words,
+                           unnest(g.shs) AS sh,
+                           unnest(range(1, len(g.shs) + 1)) AS s
+                    FROM g JOIN w USING (doc_id)),
+            cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM (
+                        SELECT doc_id,
+                               unnest(range(s, least(s + 2, n_words) + 1))
+                                   AS p
+                        FROM pos JOIN dup USING (sh))
+                    GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(len(w.w) AS BIGINT) AS n_words,
+                   CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_words,
+                   CAST(floor(CAST(coalesce(c.covered, 0) AS DOUBLE)
+                              * 1000000.0 / CAST(len(w.w) AS DOUBLE) + 0.5)
+                        AS BIGINT) AS coverage_c6
+            FROM w LEFT JOIN cov c USING (doc_id)
+            WHERE len(w.w) > 0
         """,
         # mirror of ops.text.token_rarity: per-term rarity total/count(term)
         # rounded c6 BEFORE the per-doc sum (order-independent int64 adds on

@@ -1977,3 +1977,307 @@ def semdedup(
     return got.append_column(
         "recall_c6", pa.array([c6] * got.num_rows, pa.int64())
     )
+
+
+# ------------------------------------------------- exact-substring coverage
+# Distinct cross-doc-duplicated shingle count under which the dup-shingle
+# set broadcasts (ray.put once, vectorized pc.is_in probe per batch — zero
+# document shuffle). Above it, positioned gram rows hash-join the dup set
+# and per-doc interval unions run in a doc_id groupby (groups are bounded
+# by ONE document's gram count, never a corpus fraction) — equality-tested.
+DUP_SPAN_BROADCAST_MAX_SHINGLES = 2_000_000
+
+
+def _gram_pos_batch(k: int):
+    """docs → one row per (sh, doc_id, start, n_words): EVERY word-k-gram
+    occurrence with its 0-based start position (unlike ``_ngram_explode``,
+    which dedupes — coverage needs positions). Same shingle semantics as
+    ``word_shingles`` / the shared SQL CTEs: ``\\s+`` split, empties
+    dropped, docs with 0 < words < k contribute ONE whole-text shingle
+    (start 0), wordless docs contribute nothing. Fully vectorized: Arrow
+    RE2 split, offset-arithmetic window joins — no per-token Python."""
+
+    out_schema = pa.schema(
+        [("sh", pa.string()), ("doc_id", pa.int64()),
+         ("start", pa.int64()), ("n_words", pa.int64())]
+    )
+
+    def rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        lst = pc.split_pattern_regex(
+            pc.coalesce(batch.column("text"), ""), r"\s+"
+        )
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        raw_counts = pc.list_value_length(lst).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = lst.flatten()
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        doc_of_word = np.repeat(
+            np.arange(len(raw_counts)), raw_counts
+        )[keep_np]
+        flat = flat.filter(keep)
+        counts = np.bincount(doc_of_word, minlength=len(raw_counts))
+        offs = np.concatenate([[0], np.cumsum(counts)])
+
+        grams: list = []
+        gram_docs: list = []
+        gram_starts: list = []
+        long_mask = counts >= k
+        if long_mask.any():
+            n_g = counts - (k - 1)
+            long_docs = np.nonzero(long_mask)[0]
+            starts = np.concatenate(
+                [np.arange(offs[d], offs[d] + n_g[d]) for d in long_docs]
+            )
+            parts = [flat.take(pa.array(starts + j, pa.int64()))
+                     for j in range(k)]
+            joined = parts[0]
+            for piece in parts[1:]:
+                joined = pc.binary_join_element_wise(joined, piece, " ")
+            grams.append(joined)
+            gram_docs.append(np.repeat(long_docs, n_g[long_mask]))
+            gram_starts.append(
+                starts - np.repeat(offs[long_docs], n_g[long_mask])
+            )
+        short = np.nonzero((counts > 0) & (counts < k))[0]
+        if len(short):
+            idx = np.concatenate(
+                [np.arange(offs[d], offs[d + 1]) for d in short]
+            )
+            sub = pa.ListArray.from_arrays(
+                pa.array(
+                    np.concatenate([[0], np.cumsum(counts[short])]),
+                    pa.int32(),
+                ),
+                flat.take(pa.array(idx, pa.int64())),
+            )
+            grams.append(pc.binary_join(sub, " "))
+            gram_docs.append(short)
+            gram_starts.append(np.zeros(len(short), np.int64))
+        if not grams:
+            return out_schema.empty_table()
+        sh = pa.concat_arrays(
+            [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+             for g in grams]
+        )
+        d = np.concatenate(gram_docs)
+        doc_ids = np.asarray(batch.column("doc_id"), np.int64)
+        return pa.table(
+            {"sh": sh,
+             "doc_id": pa.array(doc_ids[d], pa.int64()),
+             "start": pa.array(
+                 np.concatenate(gram_starts).astype(np.int64), pa.int64()
+             ),
+             "n_words": pa.array(counts[d], pa.int64())}
+        )
+
+    return rows
+
+
+_DUP_SPAN_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_words", pa.int64()),
+     ("covered_words", pa.int64()), ("coverage_c6", pa.int64())]
+)
+
+
+def _span_finish(ids, n_words, covered) -> pa.Table:
+    """coverage_c6 = floor(covered/n_words*1e6 + .5) from identical int64s
+    via IEEE doubles on both engines."""
+    frac = np.floor(
+        np.asarray(covered, np.float64) * 1_000_000.0
+        / np.asarray(n_words, np.float64) + 0.5
+    ).astype(np.int64)
+    return pa.table(
+        {"doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+         "n_words": pa.array(np.asarray(n_words, np.int64), pa.int64()),
+         "covered_words": pa.array(np.asarray(covered, np.int64), pa.int64()),
+         "coverage_c6": pa.array(frac, pa.int64())}
+    )
+
+
+def dup_span_coverage(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Exact-substring cross-document duplication coverage (the ExactSubstr
+    statistic of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at word-k-gram granularity): for every doc
+    with ≥1 word, the fraction of its word positions covered by at least
+    one k-gram window that also occurs in ANOTHER document. Output
+    (doc_id, n_words, covered_words, coverage_c6) — the per-doc signal a
+    span-removal pass would cut on.
+
+    100 TB shape: pass 1 is the ``_ngram_explode`` distinct-per-doc
+    combiner + one (sh) groupby — the shuffle moves each doc's UNIQUE
+    shingles once, never tokens or text. The cross-doc-duplicated subset
+    (df ≥ 2 — a small fraction of the shingle vocabulary on real corpora)
+    broadcasts once and pass 2 is batch-local: positioned grams, one
+    vectorized ``pc.is_in`` probe, interval-union via a distinct-position
+    expansion (≤ k rows per hit). Above
+    ``DUP_SPAN_BROADCAST_MAX_SHINGLES`` the gated twin hash-joins
+    positioned gram rows against the dup-shingle Dataset and unions
+    intervals inside a doc_id groupby — group size is one document's gram
+    count, so no worker ever holds a corpus fraction (equality-tested in
+    tests/test_ops.py)."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    src = _docs(sf_dir, ["doc_id", "text"])
+    dup = (
+        src.map_batches(_ngram_explode(k), batch_format="pyarrow")
+        .select_columns(["sh"])
+        .groupby("sh")
+        .count()
+        .map_batches(
+            lambda b: (
+                pa.schema([("sh", pa.string())]).empty_table()
+                if b.num_columns == 0 or b.num_rows == 0
+                else b.filter(pc.greater_equal(b.column("count()"), 2))
+                .select(["sh"])
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    if dup.count() > DUP_SPAN_BROADCAST_MAX_SHINGLES:
+        return _dup_span_joined(src, dup, k)
+
+    dup_arr = _collect_table(
+        dup, empty_schema=pa.schema([("sh", pa.string())])
+    ).column("sh").combine_chunks()
+    ref = ray.put(dup_arr)
+    gram_rows = _gram_pos_batch(k)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        dup_set = get_broadcast(ref)
+        rows = gram_rows(batch)
+        if rows.num_rows == 0:
+            return _DUP_SPAN_SCHEMA.empty_table()
+        ids = np.asarray(rows.column("doc_id"), np.int64)
+        starts = np.asarray(rows.column("start"), np.int64)
+        nw = np.asarray(rows.column("n_words"), np.int64)
+        hit = pc.is_in(rows.column("sh"), value_set=dup_set).to_numpy(
+            zero_copy_only=False
+        )
+        # per-doc base rows (first gram row of each doc — rows are
+        # doc-contiguous by construction)
+        first = np.concatenate([[0], np.nonzero(np.diff(ids))[0] + 1])
+        base_ids, base_nw = ids[first], nw[first]
+        covered = np.zeros(len(first), np.int64)
+        if hit.any():
+            h_d, h_s, h_n = ids[hit], starts[hit], nw[hit]
+            span = np.minimum(h_s + k, h_n) - h_s
+            rep_d = np.repeat(h_d, span)
+            within = np.arange(span.sum()) - np.repeat(
+                np.cumsum(span) - span, span
+            )
+            pos = np.repeat(h_s, span) + within
+            max_w = int(nw.max())
+            uniq = np.unique(rep_d * max_w + pos)
+            u_docs, u_counts = np.unique(uniq // max_w, return_counts=True)
+            covered[np.searchsorted(base_ids, u_docs)] = u_counts
+        return _span_finish(base_ids, base_nw, covered)
+
+    return src.map_batches(probe, batch_format="pyarrow")
+
+
+def _dup_span_joined(src, dup_ds, k: int) -> "rd.Dataset":
+    """Distributed twin for a dup-shingle set too big to broadcast:
+    positioned gram rows ⋈ dup shingles on the shingle (the join shuffles
+    gram rows, never document text), interval union per doc inside a
+    doc_id groupby, then a union + groupby merge with the per-doc base so
+    zero-coverage docs still emit rows. Byte-identical to the broadcast
+    path (same clipped-interval semantics)."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.cluster import join_partitions
+    from ..functions.tables import stable_rename
+
+    pos = src.map_batches(_gram_pos_batch(k), batch_format="pyarrow")
+    j = pos.join(
+        dup_ds, join_type="inner", num_partitions=join_partitions(),
+        on=("sh",),
+    )
+
+    hit_schema = pa.schema(
+        [("doc_id", pa.int64()), ("start", pa.int64()),
+         ("n_words", pa.int64())]
+    )
+
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return hit_schema.empty_table()
+        return batch.select(["doc_id", "start", "n_words"])
+
+    def cover(group: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        s = np.sort(group["start"].to_numpy(np.int64))
+        nw = int(group["n_words"].iloc[0])
+        e = np.minimum(s + k, nw)
+        prev = np.concatenate([[s[0]], np.maximum.accumulate(e)[:-1]])
+        covered = int(np.maximum(0, e - np.maximum(s, prev)).sum())
+        return pd.DataFrame(
+            {"doc_id": [int(group["doc_id"].iloc[0])], "n_words": [nw],
+             "covered_words": [covered]}
+        )
+
+    cov_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_words", pa.int64()),
+         ("covered_words", pa.int64())]
+    )
+    covered = (
+        j.map_batches(hit_rows, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(cover, batch_format="pandas")
+        # map_groups emits pandas blocks; re-type to arrow so the union
+        # with the arrow base stream sees one block type end-to-end
+        .map_batches(
+            lambda b: b.cast(cov_schema) if b.num_rows else
+            cov_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        rows = _gram_pos_batch(k)(batch)
+        if rows.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n_words", pa.int64()),
+                 ("covered_words", pa.int64())]
+            ).empty_table()
+        ids = np.asarray(rows.column("doc_id"), np.int64)
+        nw = np.asarray(rows.column("n_words"), np.int64)
+        first = np.concatenate([[0], np.nonzero(np.diff(ids))[0] + 1])
+        return pa.table(
+            {"doc_id": pa.array(ids[first], pa.int64()),
+             "n_words": pa.array(nw[first], pa.int64()),
+             "covered_words": pa.array(
+                 np.zeros(len(first), np.int64), pa.int64()
+             )}
+        )
+
+    base = src.map_batches(base_rows, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _DUP_SPAN_SCHEMA.empty_table()
+        return _span_finish(
+            np.asarray(batch.column("doc_id"), np.int64),
+            np.asarray(batch.column("n_words"), np.int64),
+            np.asarray(batch.column("covered_words"), np.int64),
+        )
+
+    return (
+        base.union(covered)
+        .groupby("doc_id")
+        .aggregate(Max("n_words"), Sum("covered_words"))
+        .map_batches(
+            stable_rename(["doc_id", "n_words", "covered_words"],
+                          [pa.int64(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -255,3 +255,23 @@ def test_event_quantiles_distributed_equals_driver(ray_session, monkeypatch):
         relational, "EVENT_QUANTILE_DRIVER_MAX_ROWS", -1
     )
     assert relational.event_value_quantiles(sf).equals(driver)
+
+
+def test_dup_span_joined_equals_broadcast(ray_session, monkeypatch):
+    """The hash-join + doc_id-groupby interval-union twin must be
+    byte-identical to the broadcast pc.is_in probe, zero-coverage rows
+    included."""
+    from spacy_crfsuite_ray.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["doc_id", "n_words", "covered_words", "coverage_c6"]
+
+    def run():
+        df = dedup.dup_span_coverage(sf).to_pandas()
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(dedup, "DUP_SPAN_BROADCAST_MAX_SHINGLES", 0)
+    joined = run()
+    assert broadcast.equals(joined)
+    assert len(broadcast) == 500

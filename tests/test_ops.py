@@ -53,7 +53,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "stratified_sample", "dup_keep_best", "event_value_quantiles",
     "orders_upsert", "training_set", "revenue_running_total",
     "order_priority_rank", "decontaminate", "token_rarity",
-    "dup_ngram_fraction",
+    "dup_ngram_fraction", "dup_span_coverage",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
@@ -484,6 +484,51 @@ def test_dup_ngram_fraction_short_doc_edges(ray_session, tmp_path, con):
     orc = c2.execute(E.oracle_sql()["dup_ngram_fraction"]).fetchdf()
     key = ["doc_id", "n_ngrams", "n_distinct", "dup_frac_c6"]
     assert len(got) == 5  # the empty doc dropped
+    assert (
+        set(map(tuple, got[key].itertuples(index=False)))
+        == set(map(tuple, orc[key].itertuples(index=False)))
+    )
+
+
+def test_dup_span_coverage_edges(ray_session, tmp_path):
+    """Short (<k words), empty, and zero-coverage docs against the same
+    DuckDB oracle on a synthetic table: the 2-word twins share a whole-text
+    shingle (full coverage), the unique long doc has 0 coverage but still
+    emits a row, the empty doc drops, and overlapping dup windows count
+    each position once."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from spacy_crfsuite_ray.ops.dedup import dup_span_coverage
+
+    sch = pq.read_schema(f"{SF}/documents.parquet")
+    n = 7
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "lang": ["en"] * n,
+        "source": ["s"] * n,
+        "text": ["one two", "one two", "", "p q r s t u v",
+                 "a b c d e", "a b c d z", "k k k k"],
+    }
+    cols = {f.name: rows.get(f.name, [None] * n) for f in sch}
+    t = pa.table({f.name: pa.array(cols[f.name], f.type) for f in sch})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _df(dup_span_coverage(str(tmp_path)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    orc = c2.execute(E.oracle_sql()["dup_span_coverage"]).fetchdf()
+    key = ["doc_id", "n_words", "covered_words", "coverage_c6"]
+    assert len(got) == 6  # the empty doc dropped
+    by_id = {r.doc_id: r for r in got.itertuples(index=False)}
+    assert by_id[1].covered_words == 2 and by_id[1].coverage_c6 == 1_000_000
+    assert by_id[4].covered_words == 0  # unique text, row still present
+    # docs 5/6 share trigrams "a b c" and "b c d" → positions 1-4 of 5
+    assert by_id[5].covered_words == 4
     assert (
         set(map(tuple, got[key].itertuples(index=False)))
         == set(map(tuple, orc[key].itertuples(index=False)))
