@@ -649,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rarity": text.token_rarity,
         "dup_ngram_fraction": text.dup_ngram_fraction,
         "dup_span_coverage": dedup.dup_span_coverage,
+        "dsir_weights": text.dsir_weights,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1374,6 +1375,41 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS coverage_c6
             FROM w LEFT JOIN cov c USING (doc_id)
             WHERE len(w.w) > 0
+        """,
+        # mirror of ops.text.dsir_weights: md5-prefix hashed buckets (B=256),
+        # add-1-smoothed target/raw ratio rounded c6 BEFORE the per-doc sum;
+        # target side is source='src0'; same token regex as token_rarity
+        "dsir_weights": """
+            WITH raw AS (
+                SELECT doc_id, source,
+                       unnest(regexp_extract_all(text, '[A-Za-z]+')) AS t
+                FROM documents),
+            toks AS (SELECT doc_id, source,
+                            substr(md5(lower(t)), 1, 2) AS bkt
+                     FROM raw),
+            cnt AS (SELECT bkt,
+                           CAST(sum(CASE WHEN source = 'src0'
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                           CAST(sum(CASE WHEN source <> 'src0'
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS cr
+                    FROM toks GROUP BY bkt),
+            tot AS (SELECT CAST(sum(ct) AS BIGINT) + 256 AS nt,
+                           CAST(sum(cr) AS BIGINT) + 256 AS nr
+                    FROM cnt),
+            r AS (SELECT bkt,
+                         CAST(floor(CAST((ct + 1) * nr AS DOUBLE)
+                                    / CAST((cr + 1) * nt AS DOUBLE)
+                                    * 1000000.0 + 0.5) AS BIGINT) AS r
+                  FROM cnt CROSS JOIN tot),
+            tf AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks WHERE source <> 'src0' GROUP BY doc_id, bkt)
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(floor(CAST(sum(tf * r) AS DOUBLE)
+                              / CAST(sum(tf) AS DOUBLE) + 0.5) AS BIGINT)
+                       AS dsir_weight_c6
+            FROM tf JOIN r USING (bkt)
+            GROUP BY doc_id
         """,
         # mirror of ops.text.token_rarity: per-term rarity total/count(term)
         # rounded c6 BEFORE the per-doc sum (order-independent int64 adds on

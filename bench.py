@@ -139,7 +139,8 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "event_value_quantiles", "orders_upsert", "kg_cooccurrence",
             "training_set", "revenue_running_total", "order_priority_rank",
             "decontaminate", "kg_triangles", "token_rarity",
-            "dup_ngram_fraction", "semdedup",
+            "dup_ngram_fraction", "dup_span_coverage", "dsir_weights",
+            "semdedup",
             "lang_count", "quality_filter", "doc_fingerprint", "lang_id",
             "doc_sample", "ngram_top", "simhash_docs", "ann_ivf",
             "distinct_hll", "quantile_sketch", "audio_features",

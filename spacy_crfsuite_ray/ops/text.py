@@ -969,3 +969,153 @@ def dup_ngram_fraction(sf_dir: str, k: int = 3) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         frac, batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------------ DSIR weights
+DSIR_N_BUCKETS = 256
+DSIR_TARGET_SOURCE = "src0"
+
+# term → md5-prefix bucket, memoized per worker process: the vocabulary is
+# Zipf-bounded, so the cache stays ≪ the token stream it saves hashing for.
+_DSIR_BKT_CACHE: dict = {}
+
+
+def _dsir_bucket(term: str) -> str:
+    b = _DSIR_BKT_CACHE.get(term)
+    if b is None:
+        from ..functions.hashing import text_md5
+
+        b = text_md5(term)[:2]
+        _DSIR_BKT_CACHE[term] = b
+    return b
+
+
+def dsir_weights(
+    sf_dir: str, target_source: str = DSIR_TARGET_SOURCE
+) -> "rd.Dataset":
+    """Data Selection via Importance Resampling (Xie et al. 2023, NeurIPS —
+    arXiv:2302.03169): score every RAW document by how target-like its
+    hashed-feature distribution is. Features are md5-prefix buckets of
+    lowercased ASCII-letter tokens (B = 256 — DSIR's hashed-ngram sketch);
+    the per-bucket importance ratio is the add-1-smoothed target/raw token
+    frequency ratio, and a doc's weight is its mean per-token ratio. The
+    target side is ``source == target_source`` — the deterministic stand-in
+    for the high-quality sample a real pipeline would load (same spirit as
+    ``decontaminate``'s benchmark side). Output (doc_id, n_tokens,
+    dsir_weight_c6) over raw docs with ≥1 token — the resampling key.
+
+    Transcendental-free contract (the log-sum of the paper is replaced by
+    the mean ratio — same ranking direction for the oracle's sake, like
+    ``_tfidf_score``): ratio_c6(b) = floor((ct+1)(Nr+B) / ((cr+1)(Nt+B))
+    * 1e6 + .5) from exact int64 products via ONE IEEE double division on
+    both engines (headroom: ct*Nr < 2^53 ⇒ ~1e8 target tokens per bucket
+    at 1e8 raw total — beyond that, pre-scale both counts by 2^-10; the
+    ranking is ratio-invariant). Ratios are rounded c6 BEFORE the per-doc
+    sum so both engines add the same int64s in any order.
+
+    100 TB shape: this is the one text scorer that needs NO gated twin —
+    the "model" is O(B) = 256 int64 pairs no matter the corpus size (the
+    whole point of hashed features), so pass 1 is a per-batch bucket-count
+    combiner + one 256-key groupby and pass 2 is batch-local with a
+    256-entry broadcast. Zero document shuffle on either pass."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    src = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        rows = _term_rows_batch(batch.select(["doc_id", "text"]))
+        if rows.num_rows == 0:
+            return pa.schema(
+                [("bkt", pa.string()), ("t_cnt", pa.int64()),
+                 ("r_cnt", pa.int64())]
+            ).empty_table()
+        is_t = pc.equal(batch.column("source"), target_source).to_numpy(
+            zero_copy_only=False
+        )
+        # doc rows are batch-aligned: map term rows back via searchsorted
+        # on the (sorted-ascending within a batch) doc_id column is unsafe
+        # if ids aren't sorted — use a dict instead
+        side = dict(zip(batch.column("doc_id").to_pylist(), is_t.tolist()))
+        tfs = np.asarray(rows.column("tf"), np.int64)
+        terms = rows.column("term").to_pylist()
+        bkts = [_dsir_bucket(t) for t in terms]
+        t_mask = np.fromiter(
+            (side[d] for d in rows.column("doc_id").to_pylist()),
+            dtype=bool, count=rows.num_rows,
+        )
+        return pa.table(
+            {"bkt": pa.array(bkts, pa.string()),
+             "t_cnt": pa.array(np.where(t_mask, tfs, 0), pa.int64()),
+             "r_cnt": pa.array(np.where(t_mask, 0, tfs), pa.int64())}
+        ).group_by("bkt").aggregate(
+            [("t_cnt", "sum"), ("r_cnt", "sum")]
+        ).rename_columns(["bkt", "t_cnt", "r_cnt"])
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import collect_table, stable_rename
+
+    buckets = collect_table(
+        src.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("bkt")
+        .aggregate(Sum("t_cnt"), Sum("r_cnt"))
+        .map_batches(
+            stable_rename(["bkt", "t_cnt", "r_cnt"],
+                          [pa.string(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        ),
+        empty_schema=pa.schema(
+            [("bkt", pa.string()), ("t_cnt", pa.int64()),
+             ("r_cnt", pa.int64())]
+        ),
+    )
+    ct = np.asarray(buckets.column("t_cnt"), np.int64)
+    cr = np.asarray(buckets.column("r_cnt"), np.int64)
+    n_t = int(ct.sum()) + DSIR_N_BUCKETS
+    n_r = int(cr.sum()) + DSIR_N_BUCKETS
+    r_c6 = np.floor(
+        ((ct + 1) * n_r).astype(np.float64)
+        / ((cr + 1) * n_t).astype(np.float64) * 1_000_000.0 + 0.5
+    ).astype(np.int64)
+    ratio_of = dict(zip(buckets.column("bkt").to_pylist(), r_c6.tolist()))
+    ref = ray.put(ratio_of)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("dsir_weight_c6", pa.int64())]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = get_broadcast(ref)
+        raw = batch.filter(
+            pc.not_equal(batch.column("source"), target_source)
+        )
+        rows = _term_rows_batch(raw.select(["doc_id", "text"]))
+        if rows.num_rows == 0:
+            return out_schema.empty_table()
+        ids = np.asarray(rows.column("doc_id"), np.int64)
+        tfs = np.asarray(rows.column("tf"), np.int64)
+        terms = rows.column("term").to_pylist()
+        r = np.fromiter(
+            (lut[_dsir_bucket(t)] for t in terms), dtype=np.int64,
+            count=len(terms),
+        )
+        contrib = tfs * r
+        bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(ids))[0] + 1, [len(ids)]]
+        )
+        doc_ids = ids[bounds[:-1]]
+        sums = np.add.reduceat(contrib, bounds[:-1])
+        ntok = np.add.reduceat(tfs, bounds[:-1])
+        mean = np.floor(
+            sums.astype(np.float64) / ntok.astype(np.float64) + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "n_tokens": pa.array(ntok, pa.int64()),
+             "dsir_weight_c6": pa.array(mean, pa.int64())}
+        )
+
+    return src.map_batches(score, batch_format="pyarrow")

@@ -53,7 +53,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "stratified_sample", "dup_keep_best", "event_value_quantiles",
     "orders_upsert", "training_set", "revenue_running_total",
     "order_priority_rank", "decontaminate", "token_rarity",
-    "dup_ngram_fraction", "dup_span_coverage",
+    "dup_ngram_fraction", "dup_span_coverage", "dsir_weights",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
@@ -529,6 +529,51 @@ def test_dup_span_coverage_edges(ray_session, tmp_path):
     assert by_id[4].covered_words == 0  # unique text, row still present
     # docs 5/6 share trigrams "a b c" and "b c d" → positions 1-4 of 5
     assert by_id[5].covered_words == 4
+    assert (
+        set(map(tuple, got[key].itertuples(index=False)))
+        == set(map(tuple, orc[key].itertuples(index=False)))
+    )
+
+
+def test_dsir_weights_edges(ray_session, tmp_path):
+    """Target docs are never scored, letterless raw docs drop, and a raw
+    doc made of target-only vocabulary outweighs one made of raw-only
+    vocabulary — pinned against the same DuckDB oracle on a synthetic
+    table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from spacy_crfsuite_ray.ops.text import dsir_weights
+
+    sch = pq.read_schema(f"{SF}/documents.parquet")
+    n = 5
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "lang": ["en"] * n,
+        "source": ["src0", "src1", "src1", "src1", "src1"],
+        "text": ["alpha beta gamma", "alpha beta gamma", "delta eps zeta",
+                 "123 456", "alpha delta"],
+    }
+    cols = {f.name: rows.get(f.name, [None] * n) for f in sch}
+    t = pa.table({f.name: pa.array(cols[f.name], f.type) for f in sch})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _df(dsir_weights(str(tmp_path)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    orc = c2.execute(E.oracle_sql()["dsir_weights"]).fetchdf()
+    key = ["doc_id", "n_tokens", "dsir_weight_c6"]
+    ids = set(got["doc_id"])
+    assert ids == {2, 3, 5}  # target doc 1 and letterless doc 4 drop
+    by_id = {r.doc_id: r for r in got.itertuples(index=False)}
+    # doc 2 repeats the target text verbatim → highest weight; doc 3
+    # shares nothing with the target → lowest
+    assert by_id[2].dsir_weight_c6 > by_id[5].dsir_weight_c6 \
+        > by_id[3].dsir_weight_c6
     assert (
         set(map(tuple, got[key].itertuples(index=False)))
         == set(map(tuple, orc[key].itertuples(index=False)))
