@@ -451,17 +451,104 @@ def shipping_priority(sf_dir: str, k: int = 10,
     )
 
 
+# Orders-side row count under which the asof build side broadcasts as three
+# sorted numpy arrays and the probe is ONE batch-local searchsorted per event
+# batch (zero shuffle on either side). Above it — or when the composite key
+# would overflow int64 — the union + user-groupby twin runs (equality-tested
+# in tests/test_large_paths.py).
+ASOF_BROADCAST_MAX_ORDERS = 2_000_000
+
+
 def event_asof_order(sf_dir: str) -> "rd.Dataset":
     """Distributed AS-OF join (custom operator — Ray Data has no asof):
     for each event, the same user's most recent order at or before the
     event time (ties: latest o_orderdate, then highest o_orderkey; events
     with no prior order drop out — inner asof).
 
-    Shape: both sides are column-pruned, tagged, UNIONed, hash-partitioned
-    by the key in ONE shuffle (groupby), and matched inside the group with a
-    sort + vectorized searchsorted. Partitioning assumption: one key's rows
-    fit in a worker (true for per-user event streams; salt the key if a
-    single user's history outgrows a worker)."""
+    Shape: the build side (orders) is the small side of every real asof —
+    below ``ASOF_BROADCAST_MAX_ORDERS`` it broadcasts once as arrays sorted
+    by (custkey, orderdate, orderkey) plus a dense rank of the distinct
+    order timestamps, and every event batch resolves its matches with ONE
+    vectorized ``np.searchsorted`` on the composite key
+    ``custkey * (n_distinct_ts + 1) + ts_rank`` — no shuffle at all, events
+    stream column-pruned. Ties collapse to the highest orderkey for free:
+    tied orders share a composite value and ``side='right'`` lands after
+    the last of them in (…, orderkey) sort order. Above the gate (or if
+    the composite would overflow int64) the union-both-sides + ONE
+    user-keyed groupby twin runs; its partitioning assumption is one key's
+    rows fit in a worker (salt the key for pathological users)."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders > ASOF_BROADCAST_MAX_ORDERS:
+        return _event_asof_joined(sf_dir)
+
+    od = _collect_or_empty(
+        read_parquet_nometa(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_orderkey"],
+        ),
+        empty_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+             ("o_orderkey", pa.int64())]
+        ),
+    )
+    cust = pc.cast(od.column("o_custkey"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    ts = pc.cast(
+        pc.cast(od.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    okey = pc.cast(od.column("o_orderkey"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    order = np.lexsort((okey, ts, cust))
+    cust, ts, okey = cust[order], ts[order], okey[order]
+    uniq_ts = np.unique(ts)
+    stride = len(uniq_ts) + 1
+    if len(cust) and int(cust.max()) >= (2**62) // stride:
+        return _event_asof_joined(sf_dir)  # composite key would overflow
+    comp = cust * stride + (np.searchsorted(uniq_ts, ts, side="right"))
+    ref = ray.put({"comp": comp, "cust": cust, "okey": okey,
+                   "uniq_ts": uniq_ts, "stride": stride})
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("o_orderkey", pa.int64())]
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = get_broadcast(ref)
+        if batch.num_rows == 0 or len(b["comp"]) == 0:
+            return out_schema.empty_table()
+        users = pc.cast(batch.column("user_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t_us = pc.cast(
+            pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        rank = np.searchsorted(b["uniq_ts"], t_us, side="right")
+        pos = np.searchsorted(
+            b["comp"], users * b["stride"] + rank, side="right"
+        ) - 1
+        keep = (pos >= 0) & (b["cust"][np.maximum(pos, 0)] == users)
+        return pa.table(
+            {"event_id": pc.cast(batch.column("event_id"), pa.int64())
+             .filter(pa.array(keep)),
+             "o_orderkey": pa.array(b["okey"][pos[keep]], pa.int64())}
+        )
+
+    return read_parquet_nometa(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).map_batches(probe, batch_format="pyarrow")
+
+
+def _event_asof_joined(sf_dir: str) -> "rd.Dataset":
+    """At-scale twin: both sides tagged, UNIONed, hash-partitioned by the
+    key in ONE shuffle (groupby), matched inside the group with a sort +
+    vectorized searchsorted. Byte-identical to the broadcast probe (same
+    tie rules)."""
 
     def ev_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -888,6 +975,12 @@ def urgent_revenue_bloom(sf_dir: str,
     )
 
 
+# Lineitem row count under which the per-block argmin partials (≤ 40 B per
+# order per block) collect to the driver for the final Arrow group_by —
+# ~50 MB of partials at the gate. Above it the distributed Min runs.
+FIRST_SHIPMENT_DRIVER_MAX_ROWS = 5_000_000
+
+
 def first_shipment(sf_dir: str) -> "rd.Dataset":
     """Distributed ARGMIN: for every order, the lineitem row that ships
     first — the select-the-whole-row-at-the-group-minimum pattern, which no
@@ -903,7 +996,14 @@ def first_shipment(sf_dir: str) -> "rd.Dataset":
     bytes instead of bit-packing one int64 means no field-width budget and
     no cross-row 'tearing' on ties: the winner is one atomic value. The
     map-side combine leaves at most one (int64, 32B) row per order per
-    block on the shuffle, and decode is a numpy byte-view reshape."""
+    block on the shuffle, and decode is a numpy byte-view reshape.
+
+    Below ``FIRST_SHIPMENT_DRIVER_MAX_ROWS`` input rows the per-block
+    partials (≤ 40 B per order per block) collect to the driver and ONE
+    Arrow group_by finishes the argmin — the 147k-group distributed
+    aggregate costs more than it saves at bench scales (measured 11.3 s →
+    ~2 s at sf0.1). Above the gate the Ray Min aggregate runs
+    (equality-tested in tests/test_large_paths.py)."""
 
     def encode(batch: pa.Table) -> pa.Table:
         us = pc.cast(
@@ -935,8 +1035,14 @@ def first_shipment(sf_dir: str) -> "rd.Dataset":
         key = pa.Array.from_buffers(
             pa.binary(), n, [None, offsets, pa.py_buffer(buf)]
         )
-        return pa.table(
-            {"l_orderkey": batch.column("l_orderkey"), "key": key}
+        # map-side combine: one row per order per block reaches the shuffle
+        # (lineitem is orderkey-clustered, so this cuts shuffle rows by the
+        # avg lineitems-per-order factor)
+        return (
+            pa.table({"l_orderkey": batch.column("l_orderkey"), "key": key})
+            .group_by("l_orderkey")
+            .aggregate([("key", "min")])
+            .rename_columns(["l_orderkey", "key"])
         )
 
     def decode(batch: pa.Table) -> pa.Table:
@@ -962,14 +1068,27 @@ def first_shipment(sf_dir: str) -> "rd.Dataset":
 
     from ray.data.aggregate import Min
 
-    return (
-        read_parquet_nometa(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_linenumber", "l_partkey", "l_shipdate",
-                     "l_extendedprice"],
+    partials = read_parquet_nometa(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_shipdate",
+                 "l_extendedprice"],
+    ).map_batches(encode, batch_format="pyarrow")
+    n_rows = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    if n_rows <= FIRST_SHIPMENT_DRIVER_MAX_ROWS:
+        tbl = _collect_or_empty(
+            partials,
+            empty_schema=pa.schema(
+                [("l_orderkey", pa.int64()), ("key", pa.binary())]
+            ),
         )
-        .map_batches(encode, batch_format="pyarrow")
-        .groupby("l_orderkey")
+        final = (
+            tbl.group_by("l_orderkey")
+            .aggregate([("key", "min")])
+            .rename_columns(["l_orderkey", "min(key)"])
+        )
+        return rd.from_arrow(decode(final))
+    return (
+        partials.groupby("l_orderkey")
         .aggregate(Min("key"))
         .map_batches(decode, batch_format="pyarrow")
     )

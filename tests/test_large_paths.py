@@ -275,3 +275,42 @@ def test_dup_span_joined_equals_broadcast(ray_session, monkeypatch):
     joined = run()
     assert broadcast.equals(joined)
     assert len(broadcast) == 500
+
+
+def test_event_asof_joined_equals_broadcast(ray_session, monkeypatch):
+    """The union + user-groupby asof twin must produce the SAME matches as
+    the broadcast composite-searchsorted probe (tie rules included)."""
+    from spacy_crfsuite_ray.ops import relational
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["event_id", "o_orderkey"]
+
+    def run():
+        df = relational.event_asof_order(sf).to_pandas()
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(relational, "ASOF_BROADCAST_MAX_ORDERS", 0)
+    joined = run()
+    assert broadcast.equals(joined)
+    assert len(broadcast) == 1000
+
+
+def test_first_shipment_distributed_equals_driver(ray_session, monkeypatch):
+    """The distributed Min aggregate must equal the driver-merged argmin
+    (same byte-lex encoding on both paths)."""
+    from spacy_crfsuite_ray.ops import relational
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_shipdate",
+            "price_c2"]
+
+    def run():
+        df = relational.first_shipment(sf).to_pandas()
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    driver = run()
+    monkeypatch.setattr(relational, "FIRST_SHIPMENT_DRIVER_MAX_ROWS", 0)
+    dist = run()
+    assert driver.equals(dist)
+    assert len(driver) > 0
