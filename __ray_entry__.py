@@ -571,16 +571,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     ORDERING CONTRACT: the correctness driver records the FIRST 50 entries
     only (observed across r01-r03), so 50 SQL-oracled queries come first
-    and the 16 rows-only-by-nature entries come last. Six oracled entries
-    spill past the window at positions 51-56: kg_degree_stats and
+    and the 16 rows-only-by-nature entries come last. Oracled entries
+    spill past the window starting at position 51: kg_degree_stats and
     kg_cooccurrence (already driver-green in CORRECTNESS_r03), then the
     round-4 additions decontaminate / kg_triangles / token_rarity /
-    dup_ngram_fraction (no prior driver evidence — their oracle
-    verification is IN-REPO ONLY). All 56 are oracle-checked in-repo by
-    tests/test_ops.py / test_graph.py / test_kg_oracles.py with the same
-    DuckDB comparison."""
+    dup_ngram_fraction / dup_span_coverage / dsir_weights / pii_scrub /
+    norm_dedup / dup_line_stats / lineitem_corr (no prior driver evidence —
+    their oracle verification is IN-REPO ONLY). All 62 oracled entries are
+    oracle-checked in-repo by tests/test_ops.py / test_graph.py /
+    test_kg_oracles.py with the same DuckDB comparison."""
     from spacy_crfsuite_ray.ops import (
-        ann, dedup, multimodal, relational, sketch, text,
+        ann, clean, dedup, multimodal, relational, sketch, text,
     )
 
     return {
@@ -650,6 +651,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_fraction": text.dup_ngram_fraction,
         "dup_span_coverage": dedup.dup_span_coverage,
         "dsir_weights": text.dsir_weights,
+        "pii_scrub": clean.pii_scrub,
+        "norm_dedup": clean.norm_dedup,
+        "dup_line_stats": text.dup_line_stats,
+        "lineitem_corr": relational.lineitem_corr,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -797,6 +802,10 @@ _NGRAM_PAIRS_CTES = _ngram_pairs_ctes()
 
 
 def oracle_sql() -> dict[str, str]:
+    from spacy_crfsuite_ray.ops import clean as _clean
+    from spacy_crfsuite_ray.ops import relational as _relational_ops
+    from spacy_crfsuite_ray.ops import text as _text_ops
+
     return {
         "doc_stats": f"""
             SELECT doc_id,
@@ -1463,4 +1472,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": _edges_oracle(),
         "kg_nodes": _nodes_oracle(),
         "kg_mentions": _mentions_oracle(),
+        # cleaning / repetition / moments family (round-4 session 2):
+        # mirrors live next to their ops so the patterns cannot drift
+        "pii_scrub": _clean.pii_scrub_sql(),
+        "norm_dedup": _clean.norm_dedup_sql(),
+        "dup_line_stats": _text_ops.dup_line_stats_sql(),
+        "lineitem_corr": _relational_ops.lineitem_corr_sql(),
     }

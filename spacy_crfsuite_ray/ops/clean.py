@@ -1,0 +1,171 @@
+"""Corpus-cleaning / safety operators over the ``documents`` table.
+
+The PII patterns and the whitespace-normalization rule are RE2 expressions
+shared verbatim with the DuckDB oracles (both engines run RE2-compatible
+regex), so counts, replacements, and post-transform md5 fingerprints hash
+identically on both sides. Reference scope: talmago/spacy_crfsuite has no
+cleaning stage (its inputs are pre-curated CoNLL/markdown examples —
+``spacy_crfsuite/train.py:1-40``); these are the web-corpus stages a
+100 TB training-data pipeline needs in front of it (ROOTS/Dolma-style PII
+scrubbing, Dolma-style normalized exact dedup).
+
+Scale notes: ``pii_scrub`` is a single pruned scan with zero shuffle —
+regex counting and replacement are per-row Arrow kernels. ``norm_dedup``
+shuffles only (md5-hex, doc_id, count) triples pre-combined per batch; the
+text column never leaves the scan stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.cluster import join_partitions as _small_parts_cap
+from ..functions.tables import read_parquet_nometa, stable_rename
+
+# RE2 PII patterns — deliberately simple, anchored on word boundaries where
+# digits are involved so they behave identically in Arrow and DuckDB. Order
+# of redaction is EMAIL -> IPV4 -> PHONE (the oracle nests regexp_replace
+# in the same order; counts are taken on the ORIGINAL text).
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+PII_REDACTIONS = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+# Whitespace-normalization rule for normalized exact dedup: lowercase,
+# collapse ASCII whitespace runs to one space, trim spaces. RE2 \s is
+# ASCII-only in both engines; trimming is restricted to ' ' (NOT unicode
+# whitespace) because after the collapse only single spaces can remain at
+# the edges — and DuckDB trim() is space-only.
+NORM_WS = r"\s+"
+
+
+def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
+    return read_parquet_nometa(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def pii_scrub(sf_dir: str) -> "rd.Dataset":
+    """Per-doc PII detection + redaction: counts of email / IPv4 / phone
+    matches on the original text, plus md5 of the text after redacting all
+    three in a fixed order. One pruned scan, no shuffle; regex kernels are
+    vectorized (pc.count_substring_regex / pc.replace_substring_regex),
+    only the md5 (the oracle contract) touches Python per row."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import text_md5
+
+        text = batch.column("text")
+
+        def cnt(pattern):
+            return pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+
+        redacted = text
+        for pattern, token in PII_REDACTIONS:
+            redacted = pc.replace_substring_regex(redacted, pattern, token)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_email": cnt(PII_EMAIL),
+                "n_ipv4": cnt(PII_IPV4),
+                "n_phone": cnt(PII_PHONE),
+                "clean_fp": pa.array(
+                    [text_md5(t) for t in redacted.to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow"
+    )
+
+
+def pii_scrub_sql() -> str:
+    """DuckDB mirror of pii_scrub: same RE2 patterns, counts on the original
+    text, same EMAIL -> IPV4 -> PHONE replacement nesting."""
+    (e_pat, e_tok), (i_pat, i_tok), (p_pat, p_tok) = PII_REDACTIONS
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{e_pat}')) AS n_email,
+               len(regexp_extract_all(text, '{i_pat}')) AS n_ipv4,
+               len(regexp_extract_all(text, '{p_pat}')) AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{e_pat}', '{e_tok}', 'g'),
+                   '{i_pat}', '{i_tok}', 'g'),
+                   '{p_pat}', '{p_tok}', 'g')) AS clean_fp
+        FROM documents
+    """
+
+
+def _norm_fp_rows(batch: pa.Table) -> pa.Table:
+    """(norm_hash, keep_doc_id, n) partials: normalize, md5, combine within
+    the batch so the shuffle moves one row per distinct normalized text per
+    batch — the text column dies here."""
+    from ..functions.hashing import text_md5
+
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(
+            pc.utf8_lower(batch.column("text")), NORM_WS, " "
+        ),
+        " ",
+    )
+    t = pa.table(
+        {
+            "norm_hash": pa.array(
+                [text_md5(s) for s in norm.to_pylist()], pa.string()
+            ),
+            "keep_doc_id": batch.column("doc_id"),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        }
+    )
+    return (
+        t.group_by("norm_hash")
+        .aggregate([("keep_doc_id", "min"), ("n", "sum")])
+        .rename_columns(["norm_hash", "keep_doc_id", "n"])
+    )
+
+
+def norm_dedup(sf_dir: str) -> "rd.Dataset":
+    """Normalized exact dedup (Dolma-style): lowercase + whitespace-collapse
+    + trim, md5 the normalized text, keep the min doc_id per group and count
+    members. Same first-wins shape as ops.dedup.exact_dedup but keyed on the
+    NORMALIZED fingerprint, so trivially-reformatted copies collapse too."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_norm_fp_rows, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=4))
+        .groupby("norm_hash")
+        .aggregate(Min("keep_doc_id"), Sum("n"))
+    )
+    return ds.map_batches(
+        stable_rename(
+            ["norm_hash", "keep_doc_id", "n_docs"],
+            [pa.string(), pa.int64(), pa.int64()],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def norm_dedup_sql() -> str:
+    """DuckDB mirror of norm_dedup: same lower -> \\s+ collapse -> trim
+    normalization, md5, min/count per group."""
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '{NORM_WS}', ' ',
+                                           'g'))) AS norm_hash
+            FROM documents)
+        SELECT norm_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_docs
+        FROM h GROUP BY norm_hash
+    """

@@ -1697,3 +1697,117 @@ def _order_priority_rank_groups(sf_dir: str) -> "rd.Dataset":
         .groupby("o_orderpriority")
         .map_groups(ranks, batch_format="pandas")
     )
+
+
+def lineitem_corr(sf_dir: str) -> "rd.Dataset":
+    """Pearson correlation between quantity and extended price per return
+    flag, as a distributed MOMENTS aggregate: per-batch combiner sums the
+    exact integer moments (n, Σq, Σp, Σq², Σqp, Σp²) so the shuffle moves a
+    handful of rows per batch and the sums are order-independent; the final
+    corr is one double expression over those exact int64s, identical
+    op-for-op to the oracle (both engines evaluate the same IEEE tree over
+    the same integers, so the c6 rounding hashes equal).
+
+    Price is rounded to WHOLE DOLLARS before squaring so Σp² stays inside
+    int64 headroom: p ≤ ~1.1e5, p² ≤ 1.2e10, × ~6e8 rows per flag at the
+    100 TB target ≈ 7e18 < 2^63. Cents would overflow three orders of
+    magnitude earlier — dollars keep the moments exact at target scale.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _to_scaled_int(batch.column("l_quantity"), 1)
+        p = _to_scaled_int(batch.column("l_extendedprice"), 1)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_q": q,
+                "sum_p": p,
+                "sum_qq": pc.multiply(q, q),
+                "sum_qp": pc.multiply(q, p),
+                "sum_pp": pc.multiply(p, p),
+            }
+        )
+        return (
+            t.group_by("l_returnflag")
+            .aggregate([("n", "sum"), ("sum_q", "sum"), ("sum_p", "sum"),
+                        ("sum_qq", "sum"), ("sum_qp", "sum"),
+                        ("sum_pp", "sum")])
+            .rename_columns(["l_returnflag", "n", "sum_q", "sum_p",
+                             "sum_qq", "sum_qp", "sum_pp"])
+        )
+
+    names = ["n", "sum_q", "sum_p", "sum_qq", "sum_qp", "sum_pp"]
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.schema(
+                [("l_returnflag", pa.string())]
+                + [(c, pa.int64()) for c in names]
+                + [("corr_c6", pa.int64())]
+            ).empty_table()
+        batch = batch.rename_columns(["l_returnflag"] + names)
+        n = np.asarray(batch.column("n"), np.float64)
+        sq = np.asarray(batch.column("sum_q"), np.float64)
+        sp = np.asarray(batch.column("sum_p"), np.float64)
+        sqq = np.asarray(batch.column("sum_qq"), np.float64)
+        sqp = np.asarray(batch.column("sum_qp"), np.float64)
+        spp = np.asarray(batch.column("sum_pp"), np.float64)
+        # same association order as the oracle: (n*sxy - sx*sy) /
+        # (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)); IEEE ops over
+        # identical doubles are bitwise-deterministic across engines
+        denom = np.sqrt(n * sqq - sq * sq) * np.sqrt(n * spp - sp * sp)
+        num = n * sqp - sq * sp
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where(denom == 0.0, 0.0, num / denom)
+        c6 = np.floor(corr * 1000000.0 + 0.5).astype(np.int64)
+        return batch.append_column("corr_c6", pa.array(c6, pa.int64()))
+
+    return (
+        read_parquet_nometa(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c) for c in names])
+        .map_batches(final, batch_format="pyarrow")
+    )
+
+
+def lineitem_corr_sql() -> str:
+    """DuckDB mirror of lineitem_corr: identical integer moments and the
+    identical double expression tree (NOT the built-in corr(), whose
+    internal accumulation order differs)."""
+    return """
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS q,
+                   CAST(floor(l_extendedprice * 1.0 + 0.5) AS BIGINT) AS p
+            FROM lineitem),
+        m AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(q) AS BIGINT) AS sum_q,
+                   CAST(sum(p) AS BIGINT) AS sum_p,
+                   CAST(sum(q * q) AS BIGINT) AS sum_qq,
+                   CAST(sum(q * p) AS BIGINT) AS sum_qp,
+                   CAST(sum(p * p) AS BIGINT) AS sum_pp
+            FROM s GROUP BY l_returnflag),
+        f AS (
+            SELECT *,
+                   sqrt(CAST(n AS DOUBLE) * sum_qq
+                        - CAST(sum_q AS DOUBLE) * sum_q)
+                   * sqrt(CAST(n AS DOUBLE) * sum_pp
+                          - CAST(sum_p AS DOUBLE) * sum_p) AS denom,
+                   CAST(n AS DOUBLE) * sum_qp
+                   - CAST(sum_q AS DOUBLE) * sum_p AS num
+            FROM m)
+        SELECT l_returnflag, n, sum_q, sum_p, sum_qq, sum_qp, sum_pp,
+               CAST(floor(CASE WHEN denom = 0.0 THEN 0.0
+                               ELSE num / denom END * 1000000.0 + 0.5)
+                    AS BIGINT) AS corr_c6
+        FROM f
+    """

@@ -1119,3 +1119,107 @@ def dsir_weights(
         )
 
     return src.map_batches(score, batch_format="pyarrow")
+
+
+def dup_line_stats(sf_dir: str) -> "rd.Dataset":
+    """Within-doc duplicate-line fraction (the Gopher repetition signals
+    "duplicate line fraction" / "duplicate line character fraction", Rae et
+    al. 2021 §A1.1): per doc, the fraction of non-empty lines that are
+    repeats of an earlier identical line, and the fraction of characters
+    inside those repeats. Batch-local — two Arrow group_bys per batch, no
+    shuffle, text never leaves the scan. Docs with no non-empty line (every
+    char is a newline) are dropped, matching the oracle's inner unnest.
+
+    The reference has no per-document repetition scoring (its inputs are
+    curated sentences); this is the Gopher-suite counterpart to
+    dup_ngram_fraction / top_bigram_fraction above.
+    """
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_lines", pa.int64()),
+         ("dup_line_frac_c6", pa.int64()), ("dup_char_frac_c6", pa.int64())]
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        lines = pc.split_pattern(text, "\n")
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        if len(flat) == 0:
+            return out_schema.empty_table()
+        ln = pc.cast(pc.utf8_length(flat), pa.int64())
+        # occurrences (c) and char length per distinct (doc, line)
+        g = (
+            pa.table({"i": parent, "line": flat, "len": ln})
+            .group_by(["i", "line"])
+            .aggregate([("len", "count"), ("len", "min")])
+        )
+        c = pc.cast(g.column("len_count"), pa.int64())
+        length = g.column("len_min")
+        extra = pc.subtract(c, 1)
+        s = (
+            pa.table(
+                {
+                    "i": g.column("i"),
+                    "n": c,
+                    "extra": extra,
+                    "chars": pc.multiply(c, length),
+                    "extra_chars": pc.multiply(extra, length),
+                }
+            )
+            .group_by("i")
+            .aggregate([("n", "sum"), ("extra", "sum"), ("chars", "sum"),
+                        ("extra_chars", "sum")])
+        )
+        n = np.asarray(s.column("n_sum"), np.float64)
+        extra_f = np.asarray(s.column("extra_sum"), np.float64)
+        chars = np.asarray(s.column("chars_sum"), np.float64)
+        extra_chars = np.asarray(s.column("extra_chars_sum"), np.float64)
+        c6_line = np.floor(extra_f / n * 1000000.0 + 0.5).astype(np.int64)
+        c6_char = np.floor(
+            extra_chars / chars * 1000000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.take(batch.column("doc_id"), s.column("i")),
+                "n_lines": pc.cast(s.column("n_sum"), pa.int64()),
+                "dup_line_frac_c6": pa.array(c6_line, pa.int64()),
+                "dup_char_frac_c6": pa.array(c6_char, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def dup_line_stats_sql() -> str:
+    """DuckDB mirror of dup_line_stats: same newline split, same non-empty
+    filter, same (sum(c-1)/sum(c)) double expression tree and c6 rounding."""
+    return """
+        WITH L AS (
+            SELECT doc_id, line
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, chr(10))) AS line
+                  FROM documents)
+            WHERE line <> ''),
+        g AS (
+            SELECT doc_id, line, length(line) AS len, count(*) AS c
+            FROM L GROUP BY doc_id, line),
+        s AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_lines,
+                   CAST(sum(c - 1) AS DOUBLE) AS extra,
+                   CAST(sum(c) AS DOUBLE) AS n,
+                   CAST(sum((c - 1) * len) AS DOUBLE) AS extra_chars,
+                   CAST(sum(c * len) AS DOUBLE) AS chars
+            FROM g GROUP BY doc_id)
+        SELECT doc_id, n_lines,
+               CAST(floor(extra / n * 1000000.0 + 0.5) AS BIGINT)
+                   AS dup_line_frac_c6,
+               CAST(floor(extra_chars / chars * 1000000.0 + 0.5) AS BIGINT)
+                   AS dup_char_frac_c6
+        FROM s
+    """

@@ -1,0 +1,138 @@
+"""Cleaning / repetition ops vs DuckDB on a crafted fixture.
+
+The driver's synthetic documents contain no newlines, digits, or '@', so
+pii_scrub / dup_line_stats / norm_dedup are trivially-zero there (their
+sf-data oracle rows in test_ops.py still must match — and do). REAL
+coverage lives here: a fixture with emails, IPv4s, phone numbers,
+multi-line repeats, mixed case, tabs, empty and whitespace-only docs,
+compared against the SAME DuckDB oracles the driver runs.
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cleanfix")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(
+                [
+                    "Contact bob@example.com or 555-123-4567."
+                    "\nline two\nline two",
+                    "Server at 192.168.1.1 and 10.0.0.255 rebooted."
+                    "\n\n\nonly line",
+                    "no pii here\nno pii here\nno pii here\nunique",
+                    "  Mixed   CASE\ttext  ",
+                    "mixed case text",
+                    "a@b.co x@y.io 1.2.3.4 999.888.7777",
+                    "",
+                    "\n\n\n",
+                    "digits 123.456 not an ip, 12-34-5678 not a phone",
+                    "dup chars\naaaa bbbb cccc dddd\naaaa bbbb cccc dddd\nz",
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 10),
+            "source": pa.array(["s0"] * 10),
+            "n_chars": pa.array([0] * 10, pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fix_con(fixture_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{fixture_dir}/documents.parquet'"
+    )
+    return con
+
+
+def _cmp(ray_ds, sql, con):
+    a = ray_ds.to_pandas()
+    b = con.execute(sql).fetchdf()
+    a = a[sorted(a.columns)].sort_values(
+        sorted(a.columns)).reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(
+        sorted(b.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    return a
+
+
+def test_pii_scrub_matches_oracle_on_real_pii(ray_session, fixture_dir,
+                                              fix_con):
+    from spacy_crfsuite_ray.ops import clean
+
+    a = _cmp(clean.pii_scrub(fixture_dir), clean.pii_scrub_sql(), fix_con)
+    by_id = a.set_index("doc_id")
+    # doc 0: one email + one phone; doc 1: two IPs; doc 5: 2 emails, 1 ip,
+    # 1 phone; doc 8 has lookalikes that must NOT match
+    assert by_id.loc[0, ["n_email", "n_ipv4", "n_phone"]].tolist() == [1, 0, 1]
+    assert by_id.loc[1, ["n_email", "n_ipv4", "n_phone"]].tolist() == [0, 2, 0]
+    assert by_id.loc[5, ["n_email", "n_ipv4", "n_phone"]].tolist() == [2, 1, 1]
+    assert by_id.loc[8, ["n_email", "n_ipv4", "n_phone"]].tolist() == [0, 0, 0]
+    # redaction changes the fingerprint only where something matched
+    import hashlib
+
+    assert (
+        by_id.loc[8, "clean_fp"]
+        == hashlib.md5(
+            "digits 123.456 not an ip, 12-34-5678 not a phone".encode()
+        ).hexdigest()
+    )
+
+
+def test_norm_dedup_merges_reformatted_copies(ray_session, fixture_dir,
+                                              fix_con):
+    from spacy_crfsuite_ray.ops import clean
+
+    a = _cmp(clean.norm_dedup(fixture_dir), clean.norm_dedup_sql(), fix_con)
+    # docs 3 and 4 normalize to the same text -> one group, keep min id 3;
+    # docs 6 ("") and 7 ("\n\n\n") both normalize to "" -> one group
+    merged = a[a.n_docs > 1].sort_values("keep_doc_id")
+    assert merged.keep_doc_id.tolist() == [3, 6]
+    assert merged.n_docs.tolist() == [2, 2]
+    assert len(a) == 8  # 10 docs, two 2-member groups
+
+
+def test_dup_line_stats_matches_oracle_on_multiline(ray_session, fixture_dir,
+                                                    fix_con):
+    from spacy_crfsuite_ray.ops import text
+
+    a = _cmp(text.dup_line_stats(fixture_dir), text.dup_line_stats_sql(),
+             fix_con)
+    by_id = a.set_index("doc_id")
+    # doc 0: 3 lines, "line two" repeated once -> frac 1/3
+    assert by_id.loc[0, "n_lines"] == 3
+    assert by_id.loc[0, "dup_line_frac_c6"] == 333333
+    # doc 2: 4 lines, 2 repeats -> 1/2
+    assert by_id.loc[2, "dup_line_frac_c6"] == 500000
+    # doc 9: char fraction weighs the long repeated line, not the 'z'
+    assert by_id.loc[9, "dup_char_frac_c6"] > by_id.loc[9, "dup_line_frac_c6"]
+    # empty and newline-only docs are dropped on both sides
+    assert 6 not in by_id.index and 7 not in by_id.index
+
+
+def test_lineitem_corr_moments_consistent(ray_session):
+    """Sanity beyond the oracle equality in test_ops.py: the moments obey
+    Cauchy-Schwarz (|corr| <= 1) and the group counts cover the table."""
+    from spacy_crfsuite_ray.ops import relational
+
+    a = relational.lineitem_corr("/root/testdata/sf0.001").to_pandas()
+    assert set(a.l_returnflag) == {"A", "N", "R"}
+    assert (a.n > 0).all()
+    assert (a.corr_c6.abs() <= 1_000_000).all()
+    import pyarrow.parquet as pq
+
+    assert a.n.sum() == pq.read_metadata(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).num_rows

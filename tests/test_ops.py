@@ -54,6 +54,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "orders_upsert", "training_set", "revenue_running_total",
     "order_priority_rank", "decontaminate", "token_rarity",
     "dup_ngram_fraction", "dup_span_coverage", "dsir_weights",
+    "pii_scrub", "norm_dedup", "dup_line_stats", "lineitem_corr",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
