@@ -576,8 +576,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     kg_cooccurrence (already driver-green in CORRECTNESS_r03), then the
     round-4 additions decontaminate / kg_triangles / token_rarity /
     dup_ngram_fraction / dup_span_coverage / dsir_weights / pii_scrub /
-    norm_dedup / dup_line_stats / lineitem_corr (no prior driver evidence —
-    their oracle verification is IN-REPO ONLY). All 62 oracled entries are
+    norm_dedup / dup_line_stats / lineitem_corr / customer_order_profile /
+    user_activity_ledger (no prior driver evidence — their oracle
+    verification is IN-REPO ONLY). All 64 oracled entries are
     oracle-checked in-repo by tests/test_ops.py / test_graph.py /
     test_kg_oracles.py with the same DuckDB comparison."""
     from spacy_crfsuite_ray.ops import (
@@ -655,6 +656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "norm_dedup": clean.norm_dedup,
         "dup_line_stats": text.dup_line_stats,
         "lineitem_corr": relational.lineitem_corr,
+        "customer_order_profile": relational.customer_order_profile,
+        "user_activity_ledger": relational.user_activity_ledger,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1478,4 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         "norm_dedup": _clean.norm_dedup_sql(),
         "dup_line_stats": _text_ops.dup_line_stats_sql(),
         "lineitem_corr": _relational_ops.lineitem_corr_sql(),
+        "customer_order_profile":
+            _relational_ops.customer_order_profile_sql(),
+        "user_activity_ledger": _relational_ops.user_activity_ledger_sql(),
     }

@@ -1811,3 +1811,210 @@ def lineitem_corr_sql() -> str:
                     AS BIGINT) AS corr_c6
         FROM f
     """
+
+
+def customer_order_profile(sf_dir: str) -> "rd.Dataset":
+    """LEFT OUTER join enrichment: every customer with their order count and
+    lifetime spend, ZERO-filled for customers who never ordered (the rows an
+    inner join silently drops and the anti join keeps exclusively —
+    completing the join-family coverage). The orders side is pre-reduced to
+    one row per customer (per-batch combiner, then a keyed groupby) BEFORE
+    the join, so the shuffle joins |customers| rows against at most
+    |customers| aggregate rows — never raw orders."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "spent_c2": _to_scaled_int(batch.column("o_totalprice"), 100),
+            }
+        )
+        return (
+            t.group_by("o_custkey")
+            .aggregate([("n", "sum"), ("spent_c2", "sum")])
+            .rename_columns(["o_custkey", "n", "spent_c2"])
+        )
+
+    from ..functions.tables import stable_rename
+
+    agg = (
+        read_parquet_nometa(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum(["n", "spent_c2"])
+        .map_batches(
+            stable_rename(["o_custkey", "n", "spent_c2"],
+                          [pa.int64(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+    )
+    cust = read_parquet_nometa(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_orders": pc.fill_null(batch.column("n"), zero),
+                "spent_c2": pc.fill_null(batch.column("spent_c2"), zero),
+            }
+        )
+
+    return cust.join(
+        agg, join_type="left_outer",
+        num_partitions=_join_parts(f"{sf_dir}/customer.parquet"),
+        on=("c_custkey",), right_on=("o_custkey",),
+    ).map_batches(fill, batch_format="pyarrow")
+
+
+def customer_order_profile_sql() -> str:
+    """DuckDB mirror of customer_order_profile (LEFT JOIN + COALESCE)."""
+    return """
+        WITH agg AS (
+            SELECT o_custkey,
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS spent_c2
+            FROM orders GROUP BY o_custkey)
+        SELECT c.c_custkey, c.c_mktsegment,
+               COALESCE(agg.n, 0) AS n_orders,
+               COALESCE(agg.spent_c2, 0) AS spent_c2
+        FROM customer c LEFT JOIN agg ON agg.o_custkey = c.c_custkey
+    """
+
+
+BIG_ORDER_MIN_TOTALPRICE = 300000.0
+
+
+def user_activity_ledger(
+    sf_dir: str, min_totalprice: float = BIG_ORDER_MIN_TOTALPRICE
+) -> "rd.Dataset":
+    """FULL OUTER join of two pre-reduced aggregates that only partially
+    overlap: per-user event activity vs per-customer BIG-order spend
+    (orders above ``min_totalprice``). Event-only users (active but never a
+    big order) and order-only customers (big spenders with no tracked
+    events) both survive with zero-fill — the rows every other join type
+    drops from one side. Both sides are reduced to one row per key before
+    the join; raw events/orders never enter the shuffle join."""
+
+    def ev_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "ev_value_c2": _to_scaled_int(batch.column("value"), 100),
+            }
+        )
+        return (
+            t.group_by("user_id")
+            .aggregate([("n_events", "sum"), ("ev_value_c2", "sum")])
+            .rename_columns(["user_id", "n_events", "ev_value_c2"])
+        )
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch.column("o_totalprice"), min_totalprice)
+        )
+        t = pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "n_big_orders": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+                "big_spend_c2": _to_scaled_int(
+                    batch.column("o_totalprice"), 100
+                ),
+            }
+        )
+        return (
+            t.group_by("o_custkey")
+            .aggregate([("n_big_orders", "sum"), ("big_spend_c2", "sum")])
+            .rename_columns(["o_custkey", "n_big_orders", "big_spend_c2"])
+        )
+
+    from ..functions.tables import stable_rename
+
+    ev = (
+        read_parquet_nometa(
+            f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+        )
+        .map_batches(ev_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum(["n_events", "ev_value_c2"])
+        .map_batches(
+            stable_rename(["user_id", "n_events", "ev_value_c2"],
+                          [pa.int64(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+    )
+    orders = (
+        read_parquet_nometa(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(ord_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum(["n_big_orders", "big_spend_c2"])
+        .map_batches(
+            stable_rename(["o_custkey", "n_big_orders", "big_spend_c2"],
+                          [pa.int64(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Ray's hash-shuffle full_outer join emits ONE key column (the left
+        # `on` name), already coalesced across sides — no right key to merge
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "user_key": batch.column("user_id"),
+                "n_events": pc.fill_null(batch.column("n_events"), zero),
+                "ev_value_c2": pc.fill_null(
+                    batch.column("ev_value_c2"), zero
+                ),
+                "n_big_orders": pc.fill_null(
+                    batch.column("n_big_orders"), zero
+                ),
+                "big_spend_c2": pc.fill_null(
+                    batch.column("big_spend_c2"), zero
+                ),
+            }
+        )
+
+    return ev.join(
+        orders, join_type="full_outer",
+        num_partitions=_join_parts(f"{sf_dir}/events.parquet"),
+        on=("user_id",), right_on=("o_custkey",),
+    ).map_batches(finish, batch_format="pyarrow")
+
+
+def user_activity_ledger_sql() -> str:
+    """DuckDB mirror of user_activity_ledger (FULL OUTER + COALESCE)."""
+    return f"""
+        WITH ev AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS ev_value_c2
+            FROM events GROUP BY user_id),
+        big AS (
+            SELECT o_custkey,
+                   count(*) AS n_big_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS big_spend_c2
+            FROM orders
+            WHERE o_totalprice > {BIG_ORDER_MIN_TOTALPRICE}
+            GROUP BY o_custkey)
+        SELECT COALESCE(ev.user_id, big.o_custkey) AS user_key,
+               COALESCE(ev.n_events, 0) AS n_events,
+               COALESCE(ev.ev_value_c2, 0) AS ev_value_c2,
+               COALESCE(big.n_big_orders, 0) AS n_big_orders,
+               COALESCE(big.big_spend_c2, 0) AS big_spend_c2
+        FROM ev FULL OUTER JOIN big ON big.o_custkey = ev.user_id
+    """

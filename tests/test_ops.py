@@ -55,6 +55,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "order_priority_rank", "decontaminate", "token_rarity",
     "dup_ngram_fraction", "dup_span_coverage", "dsir_weights",
     "pii_scrub", "norm_dedup", "dup_line_stats", "lineitem_corr",
+    "customer_order_profile", "user_activity_ledger",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
