@@ -64,6 +64,12 @@ def hll_registers(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
 # its measured error there.
 SKETCH_EXACT_TWIN_MAX_ROWS = 50_000_000
 
+# Below this many input rows the exact twin merges per-batch unique int64
+# arrays on the driver (≤ rows × 8 bytes pulled — 40 MB at the gate)
+# instead of an all-to-all groupby for one scalar; above it, the
+# distributed groupby twin runs. Equality of the two paths is tested.
+DISTINCT_DRIVER_MAX_ROWS = 5_000_000
+
 
 def hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL estimate with small-range (linear counting) correction."""
@@ -82,43 +88,80 @@ def distinct_hll(sf_dir: str, table: str = "lineitem",
     (one 4KB row per batch crosses the wire), driver-side max-merge +
     estimate. Exact twin: count(DISTINCT col) — tests assert <3% error."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        vals = np.asarray(
-            batch.column(column).combine_chunks(), dtype=np.int64
-        )
-        return pa.table({"regs": pa.array([hll_registers(vals).tobytes()],
-                                          pa.binary())})
-
-    src = read_parquet_nometa(f"{sf_dir}/{table}.parquet", columns=[column])
-    ds = src.map_batches(partial, batch_format="pyarrow")
-    merged = np.zeros(1 << HLL_P, dtype=np.uint8)
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        for blob in b.column("regs").to_pylist():
-            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
-    approx = int(round(hll_estimate(merged)))
-
-    # self-reported exact twin (kg_oracle_prf-style in-band verification):
-    # per-batch unique combiner -> key groupby -> group count. The twin IS
-    # the unbounded shuffle the sketch exists to avoid — it rides along
-    # below SKETCH_EXACT_TWIN_MAX_ROWS so the driver record shows the
-    # sketch's error, and is skipped (stamped -1) above it so the sketch
-    # never costs more than the exact query it replaces.
     import pyarrow.parquet as pq
 
+    src = read_parquet_nometa(f"{sf_dir}/{table}.parquet", columns=[column])
     n_rows = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
-    if n_rows <= SKETCH_EXACT_TWIN_MAX_ROWS:
-        def uniq(batch: pa.Table) -> pa.Table:
+    merged = np.zeros(1 << HLL_P, dtype=np.uint8)
+
+    # self-reported exact twin (kg_oracle_prf-style in-band verification):
+    # it rides along below SKETCH_EXACT_TWIN_MAX_ROWS so the driver record
+    # shows the sketch's error, and is skipped (stamped -1) above it so the
+    # sketch never costs more than the exact query it replaces. Below
+    # DISTINCT_DRIVER_MAX_ROWS the twin FUSES into the sketch scan: one
+    # pass emits (registers, batch-unique keys) and the driver merges both
+    # — no second scan, no all-to-all shuffle for one scalar. Above it, the
+    # twin is its own scan + distributed groupby. Path equality is tested.
+    if n_rows <= DISTINCT_DRIVER_MAX_ROWS:
+        def fused(batch: pa.Table) -> pa.Table:
             vals = np.unique(np.asarray(
                 batch.column(column).combine_chunks(), dtype=np.int64
             ))
-            return pa.table({column: pa.array(vals, pa.int64())})
+            uniq = pa.ListArray.from_arrays(
+                pa.array([0, len(vals)], pa.int32()),
+                pa.array(vals, pa.int64()),
+            )
+            return pa.table(
+                {"regs": pa.array([hll_registers(vals).tobytes()],
+                                  pa.binary()),
+                 "uniq": uniq}
+            )
 
-        exact = src.map_batches(uniq, batch_format="pyarrow") \
-            .groupby(column).count().count()
+        parts = []
+        for b in src.map_batches(fused, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            for blob in b.column("regs").to_pylist():
+                merged = np.maximum(
+                    merged, np.frombuffer(blob, dtype=np.uint8)
+                )
+            flat = b.column("uniq").combine_chunks().flatten()
+            parts.append(np.asarray(flat, dtype=np.int64))
+        approx = int(round(hll_estimate(merged)))
+        exact = int(np.unique(np.concatenate(parts)).size) if parts else 0
         rel_err = abs(approx - exact) / max(exact, 1)
         rel_c6, within = int(round(rel_err * 1_000_000)), rel_err <= 0.03
     else:
-        exact, rel_c6, within = -1, -1, None
+        def partial(batch: pa.Table) -> pa.Table:
+            vals = np.asarray(
+                batch.column(column).combine_chunks(), dtype=np.int64
+            )
+            return pa.table(
+                {"regs": pa.array([hll_registers(vals).tobytes()],
+                                  pa.binary())}
+            )
+
+        ds = src.map_batches(partial, batch_format="pyarrow")
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            for blob in b.column("regs").to_pylist():
+                merged = np.maximum(
+                    merged, np.frombuffer(blob, dtype=np.uint8)
+                )
+        approx = int(round(hll_estimate(merged)))
+
+        if n_rows <= SKETCH_EXACT_TWIN_MAX_ROWS:
+            def uniq_rows(batch: pa.Table) -> pa.Table:
+                vals = np.unique(np.asarray(
+                    batch.column(column).combine_chunks(), dtype=np.int64
+                ))
+                return pa.table({column: pa.array(vals, pa.int64())})
+
+            exact = src.map_batches(uniq_rows, batch_format="pyarrow") \
+                .groupby(column).count().count()
+            rel_err = abs(approx - exact) / max(exact, 1)
+            rel_c6 = int(round(rel_err * 1_000_000))
+            within = rel_err <= 0.03
+        else:
+            exact, rel_c6, within = -1, -1, None
     return pa.table(
         {
             "column": pa.array([f"{table}.{column}"], pa.string()),

@@ -288,6 +288,17 @@ def test_hll_distinct_within_tolerance(ray_session, con):
     assert abs(approx - exact) / exact < 0.03  # 4096 registers ≈ 1.6% SE
 
 
+def test_hll_twin_paths_equal(ray_session, monkeypatch):
+    """The fused driver-merge exact twin (one scan) and the distributed
+    groupby twin must emit byte-identical result tables."""
+    from spacy_crfsuite_ray.ops import sketch
+
+    fused = sketch.distinct_hll(SF)
+    monkeypatch.setattr(sketch, "DISTINCT_DRIVER_MAX_ROWS", 0)
+    grouped = sketch.distinct_hll(SF)
+    assert fused.equals(grouped)
+
+
 def test_quantile_sketch_within_bin_error(ray_session, con):
     from spacy_crfsuite_ray.ops.sketch import quantile_sketch
 
