@@ -577,10 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     round-4 additions decontaminate / kg_triangles / token_rarity /
     dup_ngram_fraction / dup_span_coverage / dsir_weights / pii_scrub /
     norm_dedup / dup_line_stats / lineitem_corr / customer_order_profile /
-    user_activity_ledger (no prior driver evidence — their oracle
-    verification is IN-REPO ONLY). All 64 oracled entries are
-    oracle-checked in-repo by tests/test_ops.py / test_graph.py /
-    test_kg_oracles.py with the same DuckDB comparison."""
+    user_activity_ledger / dedup_lines / dsir_resample (no prior driver
+    evidence — their oracle verification is IN-REPO ONLY). All 66 oracled
+    entries are oracle-checked in-repo by tests/test_ops.py /
+    test_graph.py / test_kg_oracles.py with the same DuckDB comparison."""
     from spacy_crfsuite_ray.ops import (
         ann, clean, dedup, multimodal, relational, sketch, text,
     )
@@ -658,6 +658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": relational.lineitem_corr,
         "customer_order_profile": relational.customer_order_profile,
         "user_activity_ledger": relational.user_activity_ledger,
+        "dedup_lines": clean.dedup_lines,
+        "dsir_resample": text.dsir_resample,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -802,6 +804,41 @@ def _ngram_pairs_ctes(src: str = "documents") -> str:
 
 
 _NGRAM_PAIRS_CTES = _ngram_pairs_ctes()
+
+# Shared by the dsir_weights oracle and the dsir_resample oracle (which
+# composes it) so the weight semantics cannot drift between the two.
+_DSIR_WEIGHTS_SQL = """
+            WITH raw AS (
+                SELECT doc_id, source,
+                       unnest(regexp_extract_all(text, '[A-Za-z]+')) AS t
+                FROM documents),
+            toks AS (SELECT doc_id, source,
+                            substr(md5(lower(t)), 1, 2) AS bkt
+                     FROM raw),
+            cnt AS (SELECT bkt,
+                           CAST(sum(CASE WHEN source = 'src0'
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                           CAST(sum(CASE WHEN source <> 'src0'
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS cr
+                    FROM toks GROUP BY bkt),
+            tot AS (SELECT CAST(sum(ct) AS BIGINT) + 256 AS nt,
+                           CAST(sum(cr) AS BIGINT) + 256 AS nr
+                    FROM cnt),
+            r AS (SELECT bkt,
+                         CAST(floor(CAST((ct + 1) * nr AS DOUBLE)
+                                    / CAST((cr + 1) * nt AS DOUBLE)
+                                    * 1000000.0 + 0.5) AS BIGINT) AS r
+                  FROM cnt CROSS JOIN tot),
+            tf AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks WHERE source <> 'src0' GROUP BY doc_id, bkt)
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(floor(CAST(sum(tf * r) AS DOUBLE)
+                              / CAST(sum(tf) AS DOUBLE) + 0.5) AS BIGINT)
+                       AS dsir_weight_c6
+            FROM tf JOIN r USING (bkt)
+            GROUP BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1391,37 +1428,18 @@ def oracle_sql() -> dict[str, str]:
         # mirror of ops.text.dsir_weights: md5-prefix hashed buckets (B=256),
         # add-1-smoothed target/raw ratio rounded c6 BEFORE the per-doc sum;
         # target side is source='src0'; same token regex as token_rarity
-        "dsir_weights": """
-            WITH raw AS (
-                SELECT doc_id, source,
-                       unnest(regexp_extract_all(text, '[A-Za-z]+')) AS t
-                FROM documents),
-            toks AS (SELECT doc_id, source,
-                            substr(md5(lower(t)), 1, 2) AS bkt
-                     FROM raw),
-            cnt AS (SELECT bkt,
-                           CAST(sum(CASE WHEN source = 'src0'
-                                         THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-                           CAST(sum(CASE WHEN source <> 'src0'
-                                         THEN 1 ELSE 0 END) AS BIGINT) AS cr
-                    FROM toks GROUP BY bkt),
-            tot AS (SELECT CAST(sum(ct) AS BIGINT) + 256 AS nt,
-                           CAST(sum(cr) AS BIGINT) + 256 AS nr
-                    FROM cnt),
-            r AS (SELECT bkt,
-                         CAST(floor(CAST((ct + 1) * nr AS DOUBLE)
-                                    / CAST((cr + 1) * nt AS DOUBLE)
-                                    * 1000000.0 + 0.5) AS BIGINT) AS r
-                  FROM cnt CROSS JOIN tot),
-            tf AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS tf
-                   FROM toks WHERE source <> 'src0' GROUP BY doc_id, bkt)
-            SELECT doc_id,
-                   CAST(sum(tf) AS BIGINT) AS n_tokens,
-                   CAST(floor(CAST(sum(tf * r) AS DOUBLE)
-                              / CAST(sum(tf) AS DOUBLE) + 0.5) AS BIGINT)
-                       AS dsir_weight_c6
-            FROM tf JOIN r USING (bkt)
-            GROUP BY doc_id
+        "dsir_weights": _DSIR_WEIGHTS_SQL,
+        # mirror of ops.text.dsir_resample: the weights CTE composed with
+        # the deterministic md5-prefix accept test (P(keep) ~ weight/4,
+        # capped; fixed-width lowercase hex compares as numeric)
+        "dsir_resample": f"""
+            WITH base AS ({_DSIR_WEIGHTS_SQL}),
+            d AS (SELECT doc_id, substr(md5(text), 1, 4) AS fp
+                  FROM documents)
+            SELECT b.doc_id, b.n_tokens, b.dsir_weight_c6
+            FROM base b JOIN d USING (doc_id)
+            WHERE d.fp < printf('%04x',
+                least(65535, b.dsir_weight_c6 * 65536 // 4000000))
         """,
         # mirror of ops.text.token_rarity: per-term rarity total/count(term)
         # rounded c6 BEFORE the per-doc sum (order-independent int64 adds on
@@ -1484,4 +1502,5 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_profile":
             _relational_ops.customer_order_profile_sql(),
         "user_activity_ledger": _relational_ops.user_activity_ledger_sql(),
+        "dedup_lines": _clean.dedup_lines_sql(),
     }

@@ -169,3 +169,76 @@ def norm_dedup_sql() -> str:
                count(*) AS n_docs
         FROM h GROUP BY norm_hash
     """
+
+
+def dedup_lines(sf_dir: str) -> "rd.Dataset":
+    """Within-doc duplicate-line REMOVAL (the transform counterpart of
+    ops.text.dup_line_stats, the C4/Dolma "dedupe repeated lines" step):
+    drop every line that repeats an earlier identical line in the same doc
+    (first occurrence wins, order preserved), rejoin with newlines, and
+    emit the cleaned text's md5 plus kept/removed counts. Batch-local, no
+    shuffle; the only per-row Python is the md5 (the oracle contract) and
+    the join of kept lines."""
+
+    def transform(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..functions.hashing import text_md5
+
+        lines = pc.split_pattern(batch.column("text"), "\n")
+        df = pd.DataFrame(
+            {
+                "i": pc.list_parent_indices(lines).to_numpy(
+                    zero_copy_only=False
+                ),
+                "line": pc.list_flatten(lines).to_pylist(),
+            }
+        )
+        kept = df[~df.duplicated(["i", "line"])]
+        # pandas groupby preserves within-group row order -> the rejoin
+        # keeps first-occurrence order, matching the oracle's (x, i) ->
+        # list_position(ls, x) = i lambda
+        joined = kept.groupby("i", sort=True)["line"].agg("\n".join)
+        n_total = df.groupby("i", sort=True).size()
+        n_kept = kept.groupby("i", sort=True).size()
+        return pa.table(
+            {
+                "doc_id": pc.take(
+                    batch.column("doc_id"),
+                    pa.array(joined.index.to_numpy(), pa.int64()),
+                ),
+                "n_lines_kept": pa.array(
+                    n_kept.to_numpy(np.int64), pa.int64()
+                ),
+                "n_lines_removed": pa.array(
+                    (n_total - n_kept).to_numpy(np.int64), pa.int64()
+                ),
+                "clean_fp": pa.array(
+                    [text_md5(t) for t in joined], pa.string()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        transform, batch_format="pyarrow"
+    )
+
+
+def dedup_lines_sql() -> str:
+    """DuckDB mirror of dedup_lines: the (x, i) -> list_position(ls, x) = i
+    lambda keeps exactly the first occurrence of each line in order."""
+    return """
+        WITH s AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls
+            FROM documents),
+        k AS (
+            SELECT doc_id, ls,
+                   list_filter(ls, (x, i) -> list_position(ls, x) = i)
+                       AS kept
+            FROM s)
+        SELECT doc_id,
+               len(kept) AS n_lines_kept,
+               len(ls) - len(kept) AS n_lines_removed,
+               md5(array_to_string(kept, chr(10))) AS clean_fp
+        FROM k
+    """

@@ -991,7 +991,8 @@ def _dsir_bucket(term: str) -> str:
 
 
 def dsir_weights(
-    sf_dir: str, target_source: str = DSIR_TARGET_SOURCE
+    sf_dir: str, target_source: str = DSIR_TARGET_SOURCE,
+    _emit_fp: bool = False,
 ) -> "rd.Dataset":
     """Data Selection via Importance Resampling (Xie et al. 2023, NeurIPS —
     arXiv:2302.03169): score every RAW document by how target-like its
@@ -1082,10 +1083,13 @@ def dsir_weights(
     ratio_of = dict(zip(buckets.column("bkt").to_pylist(), r_c6.tolist()))
     ref = ray.put(ratio_of)
 
-    out_schema = pa.schema(
-        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
-         ("dsir_weight_c6", pa.int64())]
-    )
+    fields = [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+              ("dsir_weight_c6", pa.int64())]
+    if _emit_fp:
+        # md5(text) prefix for the deterministic resample threshold test —
+        # internal to dsir_resample, never part of the weights contract
+        fields.append(("fp16", pa.string()))
+    out_schema = pa.schema(fields)
 
     def score(batch: pa.Table) -> pa.Table:
         lut = get_broadcast(ref)
@@ -1112,13 +1116,61 @@ def dsir_weights(
         mean = np.floor(
             sums.astype(np.float64) / ntok.astype(np.float64) + 0.5
         ).astype(np.int64)
-        return pa.table(
-            {"doc_id": pa.array(doc_ids, pa.int64()),
-             "n_tokens": pa.array(ntok, pa.int64()),
-             "dsir_weight_c6": pa.array(mean, pa.int64())}
-        )
+        cols = {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "dsir_weight_c6": pa.array(mean, pa.int64()),
+        }
+        if _emit_fp:
+            from ..functions.hashing import text_md5
+
+            fp_of = dict(zip(
+                raw.column("doc_id").to_pylist(),
+                (text_md5(t)[:4] for t in raw.column("text").to_pylist()),
+            ))
+            cols["fp16"] = pa.array(
+                [fp_of[int(d)] for d in doc_ids], pa.string()
+            )
+        return pa.table(cols)
 
     return src.map_batches(score, batch_format="pyarrow")
+
+
+# dsir_resample accept rule: P(keep) ≈ weight/RESAMPLE_DENOM (capped at 1),
+# decided by comparing the doc's md5 16-bit prefix against a per-doc hex
+# threshold — deterministic, shard-stable, and exactly expressible in SQL
+# (fixed-width lowercase hex compares lexicographically as numerically).
+DSIR_RESAMPLE_DENOM_C6 = 4_000_000
+
+
+def dsir_resample(
+    sf_dir: str, target_source: str = DSIR_TARGET_SOURCE,
+    denom_c6: int = DSIR_RESAMPLE_DENOM_C6,
+) -> "rd.Dataset":
+    """The actual DSIR step (Xie et al. 2023): importance-RESAMPLE the raw
+    corpus toward the target distribution. Each raw doc is kept with
+    probability proportional to its importance weight (weight_c6/denom_c6,
+    capped at 1), decided by the deterministic md5-prefix test above — the
+    same hash-sampling discipline as doc_sample, so re-runs and re-shards
+    keep identical docs. Composes dsir_weights (zero-shuffle, 256-bucket
+    broadcast model) with a batch-local filter: still zero document
+    shuffle end to end."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                 ("dsir_weight_c6", pa.int64())]
+            ).empty_table()
+        w = np.asarray(batch.column("dsir_weight_c6"), np.int64)
+        t16 = np.minimum(65535, (w * 65536) // denom_c6)
+        thresh = np.array([format(int(t), "04x") for t in t16])
+        fp = np.asarray(batch.column("fp16").to_pylist(), dtype="<U4")
+        return batch.filter(pa.array(fp < thresh)).drop_columns(["fp16"])
+
+    return dsir_weights(sf_dir, target_source, _emit_fp=True).map_batches(
+        keep, batch_format="pyarrow"
+    )
 
 
 def dup_line_stats(sf_dir: str) -> "rd.Dataset":

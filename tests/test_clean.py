@@ -136,3 +136,47 @@ def test_lineitem_corr_moments_consistent(ray_session):
     assert a.n.sum() == pq.read_metadata(
         "/root/testdata/sf0.001/lineitem.parquet"
     ).num_rows
+
+
+def test_dedup_lines_removes_repeats_keeps_order(ray_session, fixture_dir,
+                                                 fix_con):
+    from spacy_crfsuite_ray.ops import clean
+
+    a = _cmp(clean.dedup_lines(fixture_dir), clean.dedup_lines_sql(),
+             fix_con)
+    by_id = a.set_index("doc_id")
+    import hashlib
+
+    # doc 0: "...\nline two\nline two" -> second "line two" dropped
+    assert by_id.loc[0, "n_lines_removed"] == 1
+    assert by_id.loc[0, "clean_fp"] == hashlib.md5(
+        "Contact bob@example.com or 555-123-4567.\nline two".encode()
+    ).hexdigest()
+    # doc 2: three identical lines collapse to one
+    assert by_id.loc[2, "n_lines_kept"] == 2
+    assert by_id.loc[2, "n_lines_removed"] == 2
+    # single-line docs pass through untouched
+    assert by_id.loc[4, "n_lines_removed"] == 0
+    assert len(a) == 10  # every doc emits a row (transform, not a filter)
+
+
+def test_dsir_resample_is_weight_proportional_subset(ray_session):
+    from spacy_crfsuite_ray.ops import text
+
+    SF = "/root/testdata/sf0.001"
+    w = text.dsir_weights(SF).to_pandas().set_index("doc_id")
+    kept = text.dsir_resample(SF).to_pandas().set_index("doc_id")
+    # kept rows are exactly the weights rows for the surviving ids
+    assert kept.index.isin(w.index).all()
+    pd.testing.assert_frame_equal(kept, w.loc[kept.index])
+    # acceptance rate tracks the designed P(keep) = min(1, w/denom)
+    import numpy as np
+
+    p = np.minimum(
+        1.0,
+        w.dsir_weight_c6.to_numpy()
+        / float(text.DSIR_RESAMPLE_DENOM_C6),
+    )
+    expected = p.mean()
+    actual = len(kept) / len(w)
+    assert abs(actual - expected) < 0.08  # md5 test is ~Bernoulli(p)
