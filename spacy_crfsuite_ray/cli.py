@@ -6,6 +6,7 @@ pipeline runner.
     python -m spacy_crfsuite_ray.cli eval   gold.md -m outdir/model.npz
     python -m spacy_crfsuite_ray.cli tag    "some text" -m outdir/model.npz
     python -m spacy_crfsuite_ray.cli kg     PAGES_DIR OUT_DIR [--shards N]
+    python -m spacy_crfsuite_ray.cli scrub  DOCS_PARQUET OUT_DIR
 
 Only the CLI owns a Ray session (guarded init); library code never calls
 ray.init().
@@ -118,6 +119,37 @@ def cmd_kg(args) -> int:
     return 0
 
 
+def cmd_scrub(args) -> int:
+    """Map-only document scrub (within-doc line dedupe + PII redaction) to
+    partitioned parquet. Zero shuffle — one file per streamed block, so a
+    re-run over the same input is embarrassingly restartable."""
+    import ray
+
+    owned = not ray.is_initialized()
+    if owned:
+        # RAY_ADDRESS decides (see cmd_train) — job-submit compatible
+        ray.init(include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .ops.clean import scrub_documents
+
+    scrub_documents(args.input).write_parquet(args.out_dir)
+
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(args.out_dir, "*.parquet")))
+    n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    print(json.dumps(
+        {"rows": n_rows, "files": len(files), "out_dir": args.out_dir}
+    ))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spacy_crfsuite_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -152,6 +184,11 @@ def main(argv=None) -> int:
                         "re-runs its chunk); appending inputs re-runs only "
                         "new chunks")
     k.set_defaults(fn=cmd_kg)
+
+    s = sub.add_parser("scrub")
+    s.add_argument("input", help="documents parquet file or directory")
+    s.add_argument("out_dir")
+    s.set_defaults(fn=cmd_scrub)
 
     args = p.parse_args(argv)
     try:

@@ -171,6 +171,35 @@ def norm_dedup_sql() -> str:
     """
 
 
+def _dedup_lines_frame(batch: pa.Table):
+    """Shared core of dedup_lines / scrub_documents: per doc, drop lines
+    that repeat an earlier identical line (first wins, order preserved —
+    pandas groupby preserves within-group row order, matching the oracle's
+    (x, i) -> list_position(ls, x) = i lambda). Returns (row indices into
+    the batch, cleaned texts, n_kept, n_removed) as aligned arrays."""
+    import pandas as pd
+
+    lines = pc.split_pattern(batch.column("text"), "\n")
+    df = pd.DataFrame(
+        {
+            "i": pc.list_parent_indices(lines).to_numpy(
+                zero_copy_only=False
+            ),
+            "line": pc.list_flatten(lines).to_pylist(),
+        }
+    )
+    kept = df[~df.duplicated(["i", "line"])]
+    joined = kept.groupby("i", sort=True)["line"].agg("\n".join)
+    n_total = df.groupby("i", sort=True).size()
+    n_kept = kept.groupby("i", sort=True).size()
+    return (
+        joined.index.to_numpy(),
+        joined.to_numpy(),
+        n_kept.to_numpy(np.int64),
+        (n_total - n_kept).to_numpy(np.int64),
+    )
+
+
 def dedup_lines(sf_dir: str) -> "rd.Dataset":
     """Within-doc duplicate-line REMOVAL (the transform counterpart of
     ops.text.dup_line_stats, the C4/Dolma "dedupe repeated lines" step):
@@ -181,40 +210,18 @@ def dedup_lines(sf_dir: str) -> "rd.Dataset":
     the join of kept lines."""
 
     def transform(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         from ..functions.hashing import text_md5
 
-        lines = pc.split_pattern(batch.column("text"), "\n")
-        df = pd.DataFrame(
-            {
-                "i": pc.list_parent_indices(lines).to_numpy(
-                    zero_copy_only=False
-                ),
-                "line": pc.list_flatten(lines).to_pylist(),
-            }
-        )
-        kept = df[~df.duplicated(["i", "line"])]
-        # pandas groupby preserves within-group row order -> the rejoin
-        # keeps first-occurrence order, matching the oracle's (x, i) ->
-        # list_position(ls, x) = i lambda
-        joined = kept.groupby("i", sort=True)["line"].agg("\n".join)
-        n_total = df.groupby("i", sort=True).size()
-        n_kept = kept.groupby("i", sort=True).size()
+        idx, cleaned, n_kept, n_removed = _dedup_lines_frame(batch)
         return pa.table(
             {
                 "doc_id": pc.take(
-                    batch.column("doc_id"),
-                    pa.array(joined.index.to_numpy(), pa.int64()),
+                    batch.column("doc_id"), pa.array(idx, pa.int64())
                 ),
-                "n_lines_kept": pa.array(
-                    n_kept.to_numpy(np.int64), pa.int64()
-                ),
-                "n_lines_removed": pa.array(
-                    (n_total - n_kept).to_numpy(np.int64), pa.int64()
-                ),
+                "n_lines_kept": pa.array(n_kept, pa.int64()),
+                "n_lines_removed": pa.array(n_removed, pa.int64()),
                 "clean_fp": pa.array(
-                    [text_md5(t) for t in joined], pa.string()
+                    [text_md5(t) for t in cleaned], pa.string()
                 ),
             }
         )
@@ -242,3 +249,39 @@ def dedup_lines_sql() -> str:
                md5(array_to_string(kept, chr(10))) AS clean_fp
         FROM k
     """
+
+
+def scrub_documents(input_path: str) -> "rd.Dataset":
+    """The map-only scrub pass of a Dolma-style cleaning pipeline: per doc,
+    (1) remove within-doc duplicate lines (first wins, order preserved),
+    (2) redact PII in the fixed EMAIL -> IPV4 -> PHONE order — emitting the
+    CLEANED TEXT plus per-doc removal/redaction counts and all passthrough
+    columns. Embarrassingly parallel: one streaming scan, zero shuffle, so
+    the output writer's per-block files make the pass resumable per input
+    split. Cross-doc dedup deliberately stays a SEPARATE op (norm_dedup /
+    exact_dedup / minhash) — it needs a shuffle this pass avoids."""
+    ds = read_parquet_nometa(input_path)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        idx_np, cleaned, _, n_removed = _dedup_lines_frame(batch)
+        idx = pa.array(idx_np, pa.int64())
+        text = pa.array(cleaned, pa.string())
+        n_red = np.zeros(len(cleaned), dtype=np.int64)
+        for pattern, token in PII_REDACTIONS:
+            n_red += np.asarray(
+                pc.count_substring_regex(text, pattern), dtype=np.int64
+            )
+            text = pc.replace_substring_regex(text, pattern, token)
+        cols = {}
+        for name in batch.schema.names:
+            if name == "text":
+                cols["text"] = text
+            elif name == "n_chars":
+                cols["n_chars"] = pc.cast(pc.utf8_length(text), pa.int64())
+            else:
+                cols[name] = pc.take(batch.column(name), idx)
+        cols["n_lines_removed"] = pa.array(n_removed, pa.int64())
+        cols["n_pii_redacted"] = pa.array(n_red, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

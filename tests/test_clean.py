@@ -180,3 +180,45 @@ def test_dsir_resample_is_weight_proportional_subset(ray_session):
     expected = p.mean()
     actual = len(kept) / len(w)
     assert abs(actual - expected) < 0.08  # md5 test is ~Bernoulli(p)
+
+
+def test_scrub_documents_transform(ray_session, fixture_dir):
+    from spacy_crfsuite_ray.ops import clean
+
+    out = clean.scrub_documents(
+        f"{fixture_dir}/documents.parquet"
+    ).to_pandas().set_index("doc_id")
+    # every doc survives (transform, not a filter) with all columns kept
+    assert len(out) == 10
+    for col in ["text", "lang", "source", "n_chars",
+                "n_lines_removed", "n_pii_redacted"]:
+        assert col in out.columns
+    # PII gone from the cleaned text
+    assert "bob@example.com" not in out.loc[0, "text"]
+    assert "<EMAIL>" in out.loc[0, "text"]
+    assert "<PHONE>" in out.loc[0, "text"]
+    assert out.loc[0, "n_pii_redacted"] == 2
+    # duplicate line removed BEFORE redaction counts
+    assert out.loc[0, "n_lines_removed"] == 1
+    assert out.loc[2, "text"] == "no pii here\nunique"
+    # n_chars recomputed over the cleaned text
+    assert (out["n_chars"] == out["text"].str.len()).all()
+
+
+def test_cli_scrub_writes_parquet(ray_session, fixture_dir, tmp_path):
+    import json
+
+    from spacy_crfsuite_ray.cli import main
+
+    out_dir = str(tmp_path / "scrubbed")
+    assert main(
+        ["scrub", f"{fixture_dir}/documents.parquet", out_dir]
+    ) == 0
+    import duckdb
+
+    got = duckdb.connect().execute(
+        f"SELECT count(*) AS n, sum(n_pii_redacted) AS p "
+        f"FROM '{out_dir}/*.parquet'"
+    ).fetchone()
+    assert got[0] == 10
+    assert got[1] >= 6  # fixture plants >= 6 redactable PII items
