@@ -577,10 +577,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     round-4 additions decontaminate / kg_triangles / token_rarity /
     dup_ngram_fraction / dup_span_coverage / dsir_weights / pii_scrub /
     norm_dedup / dup_line_stats / lineitem_corr / customer_order_profile /
-    user_activity_ledger / dedup_lines / dsir_resample (no prior driver
-    evidence — their oracle verification is IN-REPO ONLY). All 66 oracled
-    entries are oracle-checked in-repo by tests/test_ops.py /
-    test_graph.py / test_kg_oracles.py with the same DuckDB comparison."""
+    user_activity_ledger / dedup_lines / dsir_resample / event_funnel (no
+    prior driver evidence — their oracle verification is IN-REPO ONLY).
+    All 67 oracled entries are oracle-checked in-repo by tests/test_ops.py
+    / test_graph.py / test_kg_oracles.py with the same DuckDB
+    comparison."""
     from spacy_crfsuite_ray.ops import (
         ann, clean, dedup, multimodal, relational, sketch, text,
     )
@@ -660,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_ledger": relational.user_activity_ledger,
         "dedup_lines": clean.dedup_lines,
         "dsir_resample": text.dsir_resample,
+        "event_funnel": relational.event_funnel,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1503,4 +1505,5 @@ def oracle_sql() -> dict[str, str]:
             _relational_ops.customer_order_profile_sql(),
         "user_activity_ledger": _relational_ops.user_activity_ledger_sql(),
         "dedup_lines": _clean.dedup_lines_sql(),
+        "event_funnel": _relational_ops.event_funnel_sql(),
     }

@@ -142,7 +142,7 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "dup_ngram_fraction", "dup_span_coverage", "dsir_weights",
             "pii_scrub", "norm_dedup", "dup_line_stats", "lineitem_corr",
             "customer_order_profile", "user_activity_ledger",
-            "dedup_lines", "dsir_resample",
+            "dedup_lines", "dsir_resample", "event_funnel",
             "semdedup",
             "lang_count", "quality_filter", "doc_fingerprint", "lang_id",
             "doc_sample", "ngram_top", "simhash_docs", "ann_ivf",

@@ -2018,3 +2018,113 @@ def user_activity_ledger_sql() -> str:
                COALESCE(big.big_spend_c2, 0) AS big_spend_c2
         FROM ev FULL OUTER JOIN big ON big.o_custkey = ev.user_id
     """
+
+
+# missing-stage sentinel for the funnel combiner: int64 max keeps Arrow/Ray
+# Min aggregates null-free and vectorized; decoded back to "never" at the end
+_FUNNEL_NEVER = np.iinfo(np.int64).max
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def event_funnel(sf_dir: str) -> pa.Table:
+    """Ordered funnel analysis (product-analytics staple): how many users
+    completed view -> click -> purchase IN ORDER, judged by each stage's
+    FIRST timestamp (strict < between consecutive stages). Shape: per-batch
+    (user, min-ts-per-stage) combiner -> one user-keyed groupby of 3-column
+    rows (never raw events) -> per-block stage counts -> 3-int driver fold.
+    Missing stages ride as an int64-max sentinel so the whole chain stays
+    null-free and vectorized."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        et = batch.column("event_type")
+        cols = {"user_id": batch.column("user_id")}
+        for stage in FUNNEL_STAGES:
+            cols[f"t_{stage}"] = pc.if_else(
+                pc.equal(et, stage), ts, pa.scalar(_FUNNEL_NEVER, pa.int64())
+            )
+        t = pa.table(cols)
+        return (
+            t.group_by("user_id")
+            .aggregate([(f"t_{s}", "min") for s in FUNNEL_STAGES])
+            .rename_columns(["user_id"] + [f"t_{s}" for s in FUNNEL_STAGES])
+        )
+
+    from ..functions.tables import stable_rename
+
+    per_user = (
+        read_parquet_nometa(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .min([f"t_{s}" for s in FUNNEL_STAGES])
+        .map_batches(
+            stable_rename(
+                ["user_id"] + [f"t_{s}" for s in FUNNEL_STAGES],
+                [pa.int64()] * 4,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("s1", pa.int64()), ("s2", pa.int64()), ("s3", pa.int64())]
+            ).empty_table()
+        tv = np.asarray(batch.column("t_view"), np.int64)
+        tc = np.asarray(batch.column("t_click"), np.int64)
+        tp = np.asarray(batch.column("t_purchase"), np.int64)
+        s1 = tv != _FUNNEL_NEVER
+        s2 = s1 & (tc != _FUNNEL_NEVER) & (tv < tc)
+        s3 = s2 & (tp != _FUNNEL_NEVER) & (tc < tp)
+        return pa.table(
+            {"s1": pa.array([int(s1.sum())], pa.int64()),
+             "s2": pa.array([int(s2.sum())], pa.int64()),
+             "s3": pa.array([int(s3.sum())], pa.int64())}
+        )
+
+    folded = _collect_or_empty(
+        per_user.map_batches(counts, batch_format="pyarrow"),
+        pa.schema([("s1", pa.int64()), ("s2", pa.int64()),
+                   ("s3", pa.int64())]),
+    )
+    totals = [
+        int(pc.sum(folded.column(c)).as_py() or 0) for c in ["s1", "s2", "s3"]
+    ]
+    return pa.table(
+        {
+            "stage": pa.array(
+                ["view", "view>click", "view>click>purchase"], pa.string()
+            ),
+            "n_users": pa.array(totals, pa.int64()),
+        }
+    )
+
+
+def event_funnel_sql() -> str:
+    """DuckDB mirror of event_funnel: first-timestamp-per-stage with strict
+    < ordering between consecutive stages (NULL-propagating CASEs match the
+    sentinel logic)."""
+    return """
+        WITH f AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+            FROM events GROUP BY user_id),
+        s AS (
+            SELECT CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS s1,
+                   CASE WHEN tv IS NOT NULL AND tv < tc
+                        THEN 1 ELSE 0 END AS s2,
+                   CASE WHEN tv IS NOT NULL AND tv < tc AND tc < tp
+                        THEN 1 ELSE 0 END AS s3
+            FROM f)
+        SELECT 'view' AS stage, CAST(sum(s1) AS BIGINT) AS n_users FROM s
+        UNION ALL
+        SELECT 'view>click', CAST(sum(s2) AS BIGINT) FROM s
+        UNION ALL
+        SELECT 'view>click>purchase', CAST(sum(s3) AS BIGINT) FROM s
+    """

@@ -56,7 +56,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "dup_ngram_fraction", "dup_span_coverage", "dsir_weights",
     "pii_scrub", "norm_dedup", "dup_line_stats", "lineitem_corr",
     "customer_order_profile", "user_activity_ledger",
-    "dedup_lines", "dsir_resample",
+    "dedup_lines", "dsir_resample", "event_funnel",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
