@@ -5,8 +5,11 @@ where exact answers need an unbounded shuffle:
   element-wise max — ONE small vector per batch moves, never the keys.
 - Log-binned quantile histogram: per-batch counts over fixed log-spaced
   bins merged by addition — bounded relative error set by bin width.
+- Frequent items (heavy hitters): two-pass local-threshold candidate
+  generation + broadcast exact recount — EXACT above the support
+  threshold with zero shuffle (SQL-oracled, not just stamped).
 
-Both are combiner-shaped (map_batches partials → tiny driver merge) and
+All are combiner-shaped (map_batches partials → tiny driver merge) and
 deterministic: the same input produces the same sketch regardless of batch
 boundaries or ordering. Accuracy is asserted against exact answers in tests.
 """
@@ -268,3 +271,92 @@ def quantile_sketch(sf_dir: str, table: str = "orders",
             ),
         }
     )
+
+
+HEAVY_HITTER_PHI = 0.008  # support threshold as a fraction of total rows
+
+
+def heavy_hitters(sf_dir: str, table: str = "events",
+                  column: str = "user_id",
+                  phi: float = HEAVY_HITTER_PHI) -> pa.Table:
+    """EXACT frequent items above a support threshold, without a full
+    groupby — the classic two-pass local-threshold algorithm (the exact
+    variant of Misra-Gries/SpaceSaving candidate generation):
+
+    Pass 1: each batch emits keys with LOCAL count >= phi * batch_rows. By
+    pigeonhole, any key with GLOBAL count >= phi * n exceeds the local
+    threshold in at least one batch, so the union is a guaranteed
+    superset; it carries at most 1/phi keys per batch (bounded driver
+    merge, vs a full-key shuffle for a groupby).
+    Pass 2: the candidate set is broadcast once and every batch emits
+    exact candidate counts (is_in probe + Arrow group_by) — a bounded
+    (candidate, n) stream folded on the driver; keys failing the global
+    threshold are dropped. ZERO shuffle in either pass.
+    """
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    src = read_parquet_nometa(f"{sf_dir}/{table}.parquet", columns=[column])
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    threshold = int(np.ceil(phi * n_rows))
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(
+            batch.column(column).combine_chunks(), dtype=np.int64
+        )
+        keys, counts = np.unique(vals, return_counts=True)
+        local_min = int(np.ceil(phi * len(vals)))
+        return pa.table(
+            {column: pa.array(keys[counts >= max(local_min, 1)], pa.int64())}
+        )
+
+    from ..functions.tables import collect_table
+
+    cand_tbl = collect_table(
+        src.map_batches(local_candidates, batch_format="pyarrow"),
+        empty_schema=pa.schema([(column, pa.int64())]),
+    )
+    cands = np.unique(np.asarray(cand_tbl.column(column), dtype=np.int64))
+    if len(cands) == 0:
+        return pa.table({column: pa.array([], pa.int64()),
+                         "n_rows": pa.array([], pa.int64())})
+    ref = ray.put(cands)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cand = get_broadcast(ref)
+        vals = np.asarray(
+            batch.column(column).combine_chunks(), dtype=np.int64
+        )
+        hit = vals[np.isin(vals, cand)]
+        keys, counts = np.unique(hit, return_counts=True)
+        return pa.table(
+            {column: pa.array(keys, pa.int64()),
+             "n": pa.array(counts, pa.int64())}
+        )
+
+    folded = collect_table(
+        src.map_batches(exact_counts, batch_format="pyarrow"),
+        empty_schema=pa.schema([(column, pa.int64()), ("n", pa.int64())]),
+    ).group_by(column).aggregate([("n", "sum")])
+    keys = np.asarray(folded.column(column), dtype=np.int64)
+    totals = np.asarray(folded.column("n_sum"), dtype=np.int64)
+    keep = totals >= threshold
+    return pa.table(
+        {column: pa.array(keys[keep], pa.int64()),
+         "n_rows": pa.array(totals[keep], pa.int64())}
+    )
+
+
+def heavy_hitters_sql(table: str = "events", column: str = "user_id",
+                      phi: float = HEAVY_HITTER_PHI) -> str:
+    """DuckDB mirror of heavy_hitters: plain GROUP BY + HAVING against the
+    same ceil(phi * n) threshold."""
+    return f"""
+        SELECT {column}, count(*) AS n_rows
+        FROM {table} GROUP BY {column}
+        HAVING count(*) >= (
+            SELECT CAST(ceil({phi} * count(*)) AS BIGINT) FROM {table})
+    """

@@ -56,7 +56,7 @@ def _assert_matches_oracle(ray_result, sql, con):
     "dup_ngram_fraction", "dup_span_coverage", "dsir_weights",
     "pii_scrub", "norm_dedup", "dup_line_stats", "lineitem_corr",
     "customer_order_profile", "user_activity_ledger",
-    "dedup_lines", "dsir_resample", "event_funnel",
+    "dedup_lines", "dsir_resample", "event_funnel", "heavy_hitters",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
@@ -287,6 +287,42 @@ def test_hll_distinct_within_tolerance(ray_session, con):
     exact = con.execute(
         "SELECT count(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
     assert abs(approx - exact) / exact < 0.03  # 4096 registers ≈ 1.6% SE
+
+
+def test_heavy_hitters_candidate_pruning_stays_exact(ray_session, con,
+                                                     tmp_path):
+    """With a high support threshold the pass-1 local threshold actually
+    prunes (cold keys never reach the driver) yet the result still equals
+    the full GROUP BY oracle — the pigeonhole superset guarantee."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spacy_crfsuite_ray.ops import sketch
+
+    rng_keys = np.concatenate([
+        np.full(4000, 7, dtype=np.int64),          # hot: 40%
+        np.full(2500, 11, dtype=np.int64),         # warm: 25%
+        np.arange(1000, 4500, dtype=np.int64),     # 3500 singletons
+    ])
+    d = tmp_path / "hh"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"user_id": pa.array(rng_keys, pa.int64())}),
+        str(d / "events.parquet"),
+    )
+    got = sketch.heavy_hitters(str(d), phi=0.2).to_pandas()
+    got = got.sort_values("user_id").reset_index(drop=True)
+    import duckdb
+
+    want = duckdb.connect().execute(
+        f"SELECT user_id, count(*) AS n_rows "
+        f"FROM '{d}/events.parquet' GROUP BY user_id "
+        f"HAVING count(*) >= CAST(ceil(0.2 * 10000) AS BIGINT) "
+        f"ORDER BY user_id"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got.user_id) == {7, 11}
 
 
 def test_hll_twin_paths_equal(ray_session, monkeypatch):
