@@ -63,6 +63,13 @@ def read_parquet_nometa(paths, *, columns=None, **kw):
     return rd.read_parquet(paths, columns=columns, **kw)
 
 
+def read_documents(sf_dir: str, columns=None):
+    """The documents-table reader shared by the text / dedup / clean op
+    families — ONE copy of the path convention (was three drifting
+    module-local `_docs` helpers)."""
+    return read_parquet_nometa(f"{sf_dir}/documents.parquet", columns=columns)
+
+
 def collect_table(ds, empty_schema: "pa.Schema | None" = None) -> pa.Table:
     """Collect a (small, pre-reduced) Dataset to one driver table. A stream
     whose blocks are ALL empty yields ZERO batches from iter_batches, and

@@ -48,8 +48,7 @@ PII_REDACTIONS = (
 NORM_WS = r"\s+"
 
 
-def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
-    return read_parquet_nometa(f"{sf_dir}/documents.parquet", columns=columns)
+from ..functions.tables import read_documents as _docs
 
 
 def pii_scrub(sf_dir: str) -> "rd.Dataset":

@@ -42,8 +42,7 @@ DEFAULT_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 3
 
 
-def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
-    return read_parquet_nometa(f"{sf_dir}/documents.parquet", columns=columns)
+from ..functions.tables import read_documents as _docs
 
 
 def exact_dedup(sf_dir: str) -> "rd.Dataset":

@@ -1756,8 +1756,13 @@ def lineitem_corr(sf_dir: str) -> "rd.Dataset":
         spp = np.asarray(batch.column("sum_pp"), np.float64)
         # same association order as the oracle: (n*sxy - sx*sy) /
         # (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)); IEEE ops over
-        # identical doubles are bitwise-deterministic across engines
-        denom = np.sqrt(n * sqq - sq * sq) * np.sqrt(n * spp - sp * sp)
+        # identical doubles are bitwise-deterministic across engines.
+        # The radicands are clamped at 0 on BOTH sides: past 2^53 the
+        # independently-rounded products can make a near-zero variance
+        # term slightly negative, where numpy would yield NaN but DuckDB
+        # sqrt() hard-errors — the clamp keeps the engines identical
+        denom = np.sqrt(np.maximum(n * sqq - sq * sq, 0.0)) \
+            * np.sqrt(np.maximum(n * spp - sp * sp, 0.0))
         num = n * sqp - sq * sp
         with np.errstate(divide="ignore", invalid="ignore"):
             corr = np.where(denom == 0.0, 0.0, num / denom)
@@ -1798,10 +1803,11 @@ def lineitem_corr_sql() -> str:
             FROM s GROUP BY l_returnflag),
         f AS (
             SELECT *,
-                   sqrt(CAST(n AS DOUBLE) * sum_qq
-                        - CAST(sum_q AS DOUBLE) * sum_q)
-                   * sqrt(CAST(n AS DOUBLE) * sum_pp
-                          - CAST(sum_p AS DOUBLE) * sum_p) AS denom,
+                   sqrt(greatest(CAST(n AS DOUBLE) * sum_qq
+                                 - CAST(sum_q AS DOUBLE) * sum_q, 0.0))
+                   * sqrt(greatest(CAST(n AS DOUBLE) * sum_pp
+                                   - CAST(sum_p AS DOUBLE) * sum_p, 0.0))
+                       AS denom,
                    CAST(n AS DOUBLE) * sum_qp
                    - CAST(sum_q AS DOUBLE) * sum_p AS num
             FROM m)
@@ -2107,7 +2113,9 @@ def event_funnel(sf_dir: str) -> pa.Table:
 def event_funnel_sql() -> str:
     """DuckDB mirror of event_funnel: first-timestamp-per-stage with strict
     < ordering between consecutive stages (NULL-propagating CASEs match the
-    sentinel logic)."""
+    sentinel logic). COALESCE on the stage sums matters: over an EMPTY
+    events table sum() is NULL but the engine's fold emits 0 — both sides
+    must agree on the zero."""
     return """
         WITH f AS (
             SELECT user_id,
@@ -2122,9 +2130,11 @@ def event_funnel_sql() -> str:
                    CASE WHEN tv IS NOT NULL AND tv < tc AND tc < tp
                         THEN 1 ELSE 0 END AS s3
             FROM f)
-        SELECT 'view' AS stage, CAST(sum(s1) AS BIGINT) AS n_users FROM s
+        SELECT 'view' AS stage,
+               CAST(COALESCE(sum(s1), 0) AS BIGINT) AS n_users FROM s
         UNION ALL
-        SELECT 'view>click', CAST(sum(s2) AS BIGINT) FROM s
+        SELECT 'view>click', CAST(COALESCE(sum(s2), 0) AS BIGINT) FROM s
         UNION ALL
-        SELECT 'view>click>purchase', CAST(sum(s3) AS BIGINT) FROM s
+        SELECT 'view>click>purchase',
+               CAST(COALESCE(sum(s3), 0) AS BIGINT) FROM s
     """

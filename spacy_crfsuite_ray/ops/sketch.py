@@ -74,6 +74,16 @@ SKETCH_EXACT_TWIN_MAX_ROWS = 50_000_000
 DISTINCT_DRIVER_MAX_ROWS = 5_000_000
 
 
+def _merge_regs(merged: np.ndarray, batch: pa.Table) -> np.ndarray:
+    """Element-wise max-merge of the serialized register blobs in a batch —
+    the ONE copy of the merge used by both distinct_hll gate branches (the
+    fused==grouped equality test only covers one side of the gate at a
+    time, so the merge must not be able to drift between them)."""
+    for blob in batch.column("regs").to_pylist():
+        merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+    return merged
+
+
 def hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL estimate with small-range (linear counting) correction."""
     m = float(len(regs))
@@ -123,10 +133,7 @@ def distinct_hll(sf_dir: str, table: str = "lineitem",
         parts = []
         for b in src.map_batches(fused, batch_format="pyarrow") \
                 .iter_batches(batch_format="pyarrow", batch_size=None):
-            for blob in b.column("regs").to_pylist():
-                merged = np.maximum(
-                    merged, np.frombuffer(blob, dtype=np.uint8)
-                )
+            merged = _merge_regs(merged, b)
             flat = b.column("uniq").combine_chunks().flatten()
             parts.append(np.asarray(flat, dtype=np.int64))
         approx = int(round(hll_estimate(merged)))
@@ -145,10 +152,7 @@ def distinct_hll(sf_dir: str, table: str = "lineitem",
 
         ds = src.map_batches(partial, batch_format="pyarrow")
         for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
-            for blob in b.column("regs").to_pylist():
-                merged = np.maximum(
-                    merged, np.frombuffer(blob, dtype=np.uint8)
-                )
+            merged = _merge_regs(merged, b)
         approx = int(round(hll_estimate(merged)))
 
         if n_rows <= SKETCH_EXACT_TWIN_MAX_ROWS:

@@ -19,8 +19,7 @@ from ..core.tokenizer import TOKEN_PATTERN
 from ..functions.cluster import coalesce_small
 
 
-def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
-    return read_parquet_nometa(f"{sf_dir}/documents.parquet", columns=columns)
+from ..functions.tables import read_documents as _docs
 
 
 def doc_stats(sf_dir: str) -> "rd.Dataset":

@@ -62,3 +62,30 @@ def trained_extractor(restaurant_examples):
     ext = CRFExtractor({"c1": 0.003, "c2": 0.03, "max_iter": 200})
     ext.train(samples)
     return ext, samples
+
+
+def oracle_frame(x):
+    """Normalize a Ray Dataset / Arrow table / DataFrame for oracle
+    comparison: sorted columns, sorted rows, fresh index."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(x, rd.Dataset):
+        x = x.to_pandas()
+    elif isinstance(x, pa.Table):
+        x = x.to_pandas()
+    return x[sorted(x.columns)].sort_values(
+        sorted(x.columns)).reset_index(drop=True)
+
+
+def assert_matches_oracle(ray_result, sql, con):
+    """THE oracle comparator (mirrors the driver gate): column-sorted,
+    row-sorted frame equality with rtol=1e-9. One copy — fixture-based and
+    sf-based tests must assert identical equality semantics."""
+    import pandas as pd
+
+    a = oracle_frame(ray_result)
+    b = oracle_frame(con.execute(sql).fetchdf())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=1e-9)
+    return a

@@ -57,15 +57,7 @@ def fix_con(fixture_dir):
     return con
 
 
-def _cmp(ray_ds, sql, con):
-    a = ray_ds.to_pandas()
-    b = con.execute(sql).fetchdf()
-    a = a[sorted(a.columns)].sort_values(
-        sorted(a.columns)).reset_index(drop=True)
-    b = b[sorted(b.columns)].sort_values(
-        sorted(b.columns)).reset_index(drop=True)
-    pd.testing.assert_frame_equal(a, b, check_dtype=False)
-    return a
+from conftest import assert_matches_oracle as _cmp  # noqa: E402
 
 
 def test_pii_scrub_matches_oracle_on_real_pii(ray_session, fixture_dir,

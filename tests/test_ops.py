@@ -29,12 +29,7 @@ def _df(x):
     return x
 
 
-def _assert_matches_oracle(ray_result, sql, con):
-    a = _df(ray_result)
-    b = con.execute(sql).fetchdf()
-    a = a[sorted(a.columns)].sort_values(sorted(a.columns)).reset_index(drop=True)
-    b = b[sorted(b.columns)].sort_values(sorted(b.columns)).reset_index(drop=True)
-    pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=1e-9)
+from conftest import assert_matches_oracle as _assert_matches_oracle  # noqa: E402
 
 
 @pytest.mark.parametrize("name", [

@@ -65,15 +65,7 @@ def fix_con(fixture_dir):
     return con
 
 
-def _cmp(ray_ds, sql, con):
-    a = ray_ds.to_pandas()
-    b = con.execute(sql).fetchdf()
-    a = a[sorted(a.columns)].sort_values(
-        sorted(a.columns)).reset_index(drop=True)
-    b = b[sorted(b.columns)].sort_values(
-        sorted(b.columns)).reset_index(drop=True)
-    pd.testing.assert_frame_equal(a, b, check_dtype=False)
-    return a
+from conftest import assert_matches_oracle as _cmp  # noqa: E402
 
 
 def test_left_outer_zero_fills_orderless_customer(ray_session, fixture_dir,
@@ -114,3 +106,39 @@ def test_full_outer_keeps_both_unmatched_sides(ray_session, fixture_dir,
     assert by_key.loc[1, "n_big_orders"] == 1
     # user 3 appears on NEITHER side -> absent entirely
     assert 3 not in by_key.index
+
+
+def test_event_funnel_empty_events_matches_oracle(ray_session, tmp_path):
+    """Zero events: the engine's fold emits 0 per stage and the oracle's
+    COALESCE(sum(), 0) must agree (bare sum() over zero rows is NULL)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spacy_crfsuite_ray.ops import relational
+
+    d = tmp_path / "emptyev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+    )
+    a = _cmp(
+        __import__("ray").data.from_arrow(relational.event_funnel(str(d))),
+        relational.event_funnel_sql(),
+        con,
+    )
+    assert a.n_users.tolist() == [0, 0, 0]
