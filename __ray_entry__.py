@@ -577,9 +577,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     round-4 additions decontaminate / kg_triangles / token_rarity /
     dup_ngram_fraction / dup_span_coverage / dsir_weights / pii_scrub /
     norm_dedup / dup_line_stats / lineitem_corr / customer_order_profile /
-    user_activity_ledger / dedup_lines / dsir_resample / event_funnel / heavy_hitters (no
+    user_activity_ledger / dedup_lines / dsir_resample / event_funnel / heavy_hitters / user_retention (no
     prior driver evidence — their oracle verification is IN-REPO ONLY).
-    All 68 oracled entries are oracle-checked in-repo by tests/test_ops.py
+    All 69 oracled entries are oracle-checked in-repo by tests/test_ops.py
     / test_graph.py / test_kg_oracles.py with the same DuckDB
     comparison."""
     from spacy_crfsuite_ray.ops import (
@@ -663,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_resample": text.dsir_resample,
         "event_funnel": relational.event_funnel,
         "heavy_hitters": sketch.heavy_hitters,
+        "user_retention": relational.user_retention,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1509,4 +1510,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _clean.dedup_lines_sql(),
         "event_funnel": _relational_ops.event_funnel_sql(),
         "heavy_hitters": _sketch_ops.heavy_hitters_sql(),
+        "user_retention": _relational_ops.user_retention_sql(),
     }

@@ -2138,3 +2138,105 @@ def event_funnel_sql() -> str:
         SELECT 'view>click>purchase',
                CAST(COALESCE(sum(s3), 0) AS BIGINT) FROM s
     """
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def user_retention(sf_dir: str) -> "rd.Dataset":
+    """Cohort retention matrix (growth-analytics staple): users bucketed by
+    the week of their FIRST event; for each (cohort_week, week_offset),
+    how many of that cohort were active offset weeks later. Shape: distinct
+    (user, week) activity via a per-batch dedup combiner + one keyed
+    groupby; the cohort side derives from the SAME deduped stream
+    (materialized once — bounded by users x weeks, far below raw events);
+    then a pre-reduced inner hash join on user and a (cohort, offset)
+    count combiner into a tiny groupby. Raw events never shuffle.
+
+    Weeks are epoch-microseconds // us_per_day // 7 — integer division on
+    positives, identical in Arrow (trunc) and DuckDB (// floor)."""
+
+    def week_rows(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        week = pc.divide(pc.divide(us, _US_PER_DAY), 7)
+        return (
+            pa.table({"user_id": batch.column("user_id"), "week": week})
+            .group_by(["user_id", "week"])
+            .aggregate([])
+        )
+
+    from ..functions.tables import stable_rename
+
+    activity = (
+        read_parquet_nometa(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(week_rows, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .count()
+        .map_batches(
+            stable_rename(["user_id", "week", "n"],
+                          [pa.int64(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+        .drop_columns(["n"])
+        .materialize()  # consumed twice; bounded by distinct (user, week)
+    )
+    cohort = activity.groupby("user_id").min("week").map_batches(
+        stable_rename(["user_id", "cohort_week"], [pa.int64(), pa.int64()]),
+        batch_format="pyarrow",
+    )
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cohort_week": batch.column("cohort_week"),
+                "week_offset": pc.subtract(
+                    batch.column("week"), batch.column("cohort_week")
+                ),
+                "n_users": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        return (
+            t.group_by(["cohort_week", "week_offset"])
+            .aggregate([("n_users", "sum")])
+            .rename_columns(["cohort_week", "week_offset", "n_users"])
+        )
+
+    return (
+        activity.join(
+            cohort, join_type="inner",
+            num_partitions=_join_parts(f"{sf_dir}/events.parquet"),
+            on=("user_id",),
+        )
+        .map_batches(offsets, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=2))
+        .groupby(["cohort_week", "week_offset"])
+        .sum("n_users")
+        .map_batches(
+            stable_rename(["cohort_week", "week_offset", "n_users"],
+                          [pa.int64(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def user_retention_sql() -> str:
+    """DuckDB mirror of user_retention: same integer week arithmetic,
+    distinct activity, min-week cohort, offset counts."""
+    return f"""
+        WITH a AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) AS BIGINT) // {_US_PER_DAY} // 7
+                       AS week
+            FROM events),
+        c AS (SELECT user_id, min(week) AS cohort_week
+              FROM a GROUP BY user_id)
+        SELECT c.cohort_week,
+               a.week - c.cohort_week AS week_offset,
+               count(*) AS n_users
+        FROM a JOIN c USING (user_id)
+        GROUP BY c.cohort_week, week_offset
+    """
