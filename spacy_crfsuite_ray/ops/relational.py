@@ -1819,36 +1819,81 @@ def lineitem_corr_sql() -> str:
     """
 
 
-def customer_order_profile(sf_dir: str) -> "rd.Dataset":
+# Below this many combined input rows (parquet footers — free) the outer
+# joins run on the driver: the pre-reduced sides are collected and joined
+# with ONE Arrow join kernel, avoiding the hash-shuffle join's ~4s
+# aggregator-actor startup that dominates fixture-scale readings. Above it
+# the distributed Dataset join runs. Path equality is tested.
+OUTER_JOIN_DRIVER_MAX_ROWS = 2_000_000
+
+
+def _order_profile_partial(batch: pa.Table) -> pa.Table:
+    t = pa.table(
+        {
+            "o_custkey": batch.column("o_custkey"),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "spent_c2": _to_scaled_int(batch.column("o_totalprice"), 100),
+        }
+    )
+    return (
+        t.group_by("o_custkey")
+        .aggregate([("n", "sum"), ("spent_c2", "sum")])
+        .rename_columns(["o_custkey", "n", "spent_c2"])
+    )
+
+
+def _order_profile_fill(batch: pa.Table) -> pa.Table:
+    zero = pa.scalar(0, pa.int64())
+    return pa.table(
+        {
+            "c_custkey": batch.column("c_custkey"),
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "n_orders": pc.fill_null(batch.column("n"), zero),
+            "spent_c2": pc.fill_null(batch.column("spent_c2"), zero),
+        }
+    )
+
+
+def customer_order_profile(sf_dir: str):
     """LEFT OUTER join enrichment: every customer with their order count and
     lifetime spend, ZERO-filled for customers who never ordered (the rows an
     inner join silently drops and the anti join keeps exclusively —
     completing the join-family coverage). The orders side is pre-reduced to
     one row per customer (per-batch combiner, then a keyed groupby) BEFORE
     the join, so the shuffle joins |customers| rows against at most
-    |customers| aggregate rows — never raw orders."""
+    |customers| aggregate rows — never raw orders. Below
+    OUTER_JOIN_DRIVER_MAX_ROWS the pre-reduced sides collect to the driver
+    and ONE Arrow join kernel replaces the shuffle join (equality-tested
+    against the distributed path)."""
+    agg_schema = pa.schema([("o_custkey", pa.int64()), ("n", pa.int64()),
+                            ("spent_c2", pa.int64())])
+    partials = read_parquet_nometa(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(_order_profile_partial, batch_format="pyarrow")
+    n_rows = (pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+              + pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "o_custkey": batch.column("o_custkey"),
-                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-                "spent_c2": _to_scaled_int(batch.column("o_totalprice"), 100),
-            }
-        )
-        return (
-            t.group_by("o_custkey")
+    if n_rows <= OUTER_JOIN_DRIVER_MAX_ROWS:
+        agg = (
+            _collect_or_empty(partials, agg_schema)
+            .group_by("o_custkey")
             .aggregate([("n", "sum"), ("spent_c2", "sum")])
             .rename_columns(["o_custkey", "n", "spent_c2"])
         )
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        joined = cust.join(
+            agg, keys="c_custkey", right_keys="o_custkey",
+            join_type="left outer",
+        )
+        return _order_profile_fill(joined)
 
     from ..functions.tables import stable_rename
 
     agg = (
-        read_parquet_nometa(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-        )
-        .map_batches(partial, batch_format="pyarrow")
+        partials
         .groupby("o_custkey")
         .sum(["n", "spent_c2"])
         .map_batches(
@@ -1860,23 +1905,11 @@ def customer_order_profile(sf_dir: str) -> "rd.Dataset":
     cust = read_parquet_nometa(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-
-    def fill(batch: pa.Table) -> pa.Table:
-        zero = pa.scalar(0, pa.int64())
-        return pa.table(
-            {
-                "c_custkey": batch.column("c_custkey"),
-                "c_mktsegment": batch.column("c_mktsegment"),
-                "n_orders": pc.fill_null(batch.column("n"), zero),
-                "spent_c2": pc.fill_null(batch.column("spent_c2"), zero),
-            }
-        )
-
     return cust.join(
         agg, join_type="left_outer",
         num_partitions=_join_parts(f"{sf_dir}/customer.parquet"),
         on=("c_custkey",), right_on=("o_custkey",),
-    ).map_batches(fill, batch_format="pyarrow")
+    ).map_batches(_order_profile_fill, batch_format="pyarrow")
 
 
 def customer_order_profile_sql() -> str:
@@ -1898,32 +1931,23 @@ def customer_order_profile_sql() -> str:
 BIG_ORDER_MIN_TOTALPRICE = 300000.0
 
 
-def user_activity_ledger(
-    sf_dir: str, min_totalprice: float = BIG_ORDER_MIN_TOTALPRICE
-) -> "rd.Dataset":
-    """FULL OUTER join of two pre-reduced aggregates that only partially
-    overlap: per-user event activity vs per-customer BIG-order spend
-    (orders above ``min_totalprice``). Event-only users (active but never a
-    big order) and order-only customers (big spenders with no tracked
-    events) both survive with zero-fill — the rows every other join type
-    drops from one side. Both sides are reduced to one row per key before
-    the join; raw events/orders never enter the shuffle join."""
+def _ledger_ev_partial(batch: pa.Table) -> pa.Table:
+    t = pa.table(
+        {
+            "user_id": batch.column("user_id"),
+            "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "ev_value_c2": _to_scaled_int(batch.column("value"), 100),
+        }
+    )
+    return (
+        t.group_by("user_id")
+        .aggregate([("n_events", "sum"), ("ev_value_c2", "sum")])
+        .rename_columns(["user_id", "n_events", "ev_value_c2"])
+    )
 
-    def ev_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "user_id": batch.column("user_id"),
-                "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-                "ev_value_c2": _to_scaled_int(batch.column("value"), 100),
-            }
-        )
-        return (
-            t.group_by("user_id")
-            .aggregate([("n_events", "sum"), ("ev_value_c2", "sum")])
-            .rename_columns(["user_id", "n_events", "ev_value_c2"])
-        )
 
-    def ord_partial(batch: pa.Table) -> pa.Table:
+def _ledger_ord_partial(min_totalprice: float):
+    def fn(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
             pc.greater(batch.column("o_totalprice"), min_totalprice)
         )
@@ -1944,13 +1968,85 @@ def user_activity_ledger(
             .rename_columns(["o_custkey", "n_big_orders", "big_spend_c2"])
         )
 
+    return fn
+
+
+def _ledger_finish(batch: pa.Table) -> pa.Table:
+    # both the Ray shuffle join and the Arrow driver join coalesce the key
+    # into the LEFT `user_id` column — no right key column in the output
+    zero = pa.scalar(0, pa.int64())
+    return pa.table(
+        {
+            "user_key": batch.column("user_id"),
+            "n_events": pc.fill_null(batch.column("n_events"), zero),
+            "ev_value_c2": pc.fill_null(batch.column("ev_value_c2"), zero),
+            "n_big_orders": pc.fill_null(
+                batch.column("n_big_orders"), zero
+            ),
+            "big_spend_c2": pc.fill_null(
+                batch.column("big_spend_c2"), zero
+            ),
+        }
+    )
+
+
+def user_activity_ledger(
+    sf_dir: str, min_totalprice: float = BIG_ORDER_MIN_TOTALPRICE
+):
+    """FULL OUTER join of two pre-reduced aggregates that only partially
+    overlap: per-user event activity vs per-customer BIG-order spend
+    (orders above ``min_totalprice``). Event-only users (active but never a
+    big order) and order-only customers (big spenders with no tracked
+    events) both survive with zero-fill — the rows every other join type
+    drops from one side. Both sides are reduced to one row per key before
+    the join; raw events/orders never enter the shuffle join. Below
+    OUTER_JOIN_DRIVER_MAX_ROWS the two pre-reduced sides collect to the
+    driver and ONE Arrow full-outer join replaces the shuffle join
+    (equality-tested against the distributed path)."""
+    ev_partials = read_parquet_nometa(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(_ledger_ev_partial, batch_format="pyarrow")
+    ord_partials = read_parquet_nometa(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        _ledger_ord_partial(min_totalprice), batch_format="pyarrow"
+    )
+    n_rows = (pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+              + pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+
+    if n_rows <= OUTER_JOIN_DRIVER_MAX_ROWS:
+        ev = (
+            _collect_or_empty(
+                ev_partials,
+                pa.schema([("user_id", pa.int64()),
+                           ("n_events", pa.int64()),
+                           ("ev_value_c2", pa.int64())]),
+            )
+            .group_by("user_id")
+            .aggregate([("n_events", "sum"), ("ev_value_c2", "sum")])
+            .rename_columns(["user_id", "n_events", "ev_value_c2"])
+        )
+        orders = (
+            _collect_or_empty(
+                ord_partials,
+                pa.schema([("o_custkey", pa.int64()),
+                           ("n_big_orders", pa.int64()),
+                           ("big_spend_c2", pa.int64())]),
+            )
+            .group_by("o_custkey")
+            .aggregate([("n_big_orders", "sum"), ("big_spend_c2", "sum")])
+            .rename_columns(["o_custkey", "n_big_orders", "big_spend_c2"])
+        )
+        joined = ev.join(
+            orders, keys="user_id", right_keys="o_custkey",
+            join_type="full outer",
+        )
+        return _ledger_finish(joined)
+
     from ..functions.tables import stable_rename
 
     ev = (
-        read_parquet_nometa(
-            f"{sf_dir}/events.parquet", columns=["user_id", "value"]
-        )
-        .map_batches(ev_partial, batch_format="pyarrow")
+        ev_partials
         .groupby("user_id")
         .sum(["n_events", "ev_value_c2"])
         .map_batches(
@@ -1960,10 +2056,7 @@ def user_activity_ledger(
         )
     )
     orders = (
-        read_parquet_nometa(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-        )
-        .map_batches(ord_partial, batch_format="pyarrow")
+        ord_partials
         .groupby("o_custkey")
         .sum(["n_big_orders", "big_spend_c2"])
         .map_batches(
@@ -1972,32 +2065,11 @@ def user_activity_ledger(
             batch_format="pyarrow",
         )
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        # Ray's hash-shuffle full_outer join emits ONE key column (the left
-        # `on` name), already coalesced across sides — no right key to merge
-        zero = pa.scalar(0, pa.int64())
-        return pa.table(
-            {
-                "user_key": batch.column("user_id"),
-                "n_events": pc.fill_null(batch.column("n_events"), zero),
-                "ev_value_c2": pc.fill_null(
-                    batch.column("ev_value_c2"), zero
-                ),
-                "n_big_orders": pc.fill_null(
-                    batch.column("n_big_orders"), zero
-                ),
-                "big_spend_c2": pc.fill_null(
-                    batch.column("big_spend_c2"), zero
-                ),
-            }
-        )
-
     return ev.join(
         orders, join_type="full_outer",
         num_partitions=_join_parts(f"{sf_dir}/events.parquet"),
         on=("user_id",), right_on=("o_custkey",),
-    ).map_batches(finish, batch_format="pyarrow")
+    ).map_batches(_ledger_finish, batch_format="pyarrow")
 
 
 def user_activity_ledger_sql() -> str:

@@ -142,3 +142,30 @@ def test_event_funnel_empty_events_matches_oracle(ray_session, tmp_path):
         con,
     )
     assert a.n_users.tolist() == [0, 0, 0]
+
+
+def test_outer_join_driver_and_distributed_paths_equal(ray_session,
+                                                       fixture_dir,
+                                                       monkeypatch):
+    """Below OUTER_JOIN_DRIVER_MAX_ROWS the outer joins run as one Arrow
+    join kernel on the driver; forced onto the distributed shuffle join
+    they must emit exactly the same rows (including the zero-filled
+    unmatched sides this fixture plants)."""
+    import pandas as pd
+
+    from spacy_crfsuite_ray.ops import relational
+
+    def frame(x):
+        df = x.to_pandas() if hasattr(x, "to_pandas") else x
+        return df[sorted(df.columns)].sort_values(
+            sorted(df.columns)).reset_index(drop=True)
+
+    for fn in [relational.customer_order_profile,
+               relational.user_activity_ledger]:
+        driver = frame(fn(fixture_dir))
+        monkeypatch.setattr(relational, "OUTER_JOIN_DRIVER_MAX_ROWS", 0)
+        dist = frame(fn(fixture_dir))
+        monkeypatch.setattr(
+            relational, "OUTER_JOIN_DRIVER_MAX_ROWS", 2_000_000
+        )
+        pd.testing.assert_frame_equal(driver, dist, check_dtype=False)
