@@ -577,9 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     round-4 additions decontaminate / kg_triangles / token_rarity /
     dup_ngram_fraction / dup_span_coverage / dsir_weights / pii_scrub /
     norm_dedup / dup_line_stats / lineitem_corr / customer_order_profile /
-    user_activity_ledger / dedup_lines / dsir_resample / event_funnel / heavy_hitters / user_retention (no
+    user_activity_ledger / dedup_lines / dsir_resample / event_funnel / heavy_hitters / user_retention /
+    chunk_documents (no
     prior driver evidence — their oracle verification is IN-REPO ONLY).
-    All 69 oracled entries are oracle-checked in-repo by tests/test_ops.py
+    All 70 oracled entries are oracle-checked in-repo by tests/test_ops.py
     / test_graph.py / test_kg_oracles.py with the same DuckDB
     comparison."""
     from spacy_crfsuite_ray.ops import (
@@ -664,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": relational.event_funnel,
         "heavy_hitters": sketch.heavy_hitters,
         "user_retention": relational.user_retention,
+        "chunk_documents": dedup.chunk_documents,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1511,4 +1513,18 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _relational_ops.event_funnel_sql(),
         "heavy_hitters": _sketch_ops.heavy_hitters_sql(),
         "user_retention": _relational_ops.user_retention_sql(),
+        # mirror of ops.dedup.chunk_documents: the SAME w CTE and
+        # (ord-1)//k grouping as chunk_dup_stats, exporting the chunks
+        "chunk_documents": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS ord
+                FROM documents)
+            SELECT doc_id,
+                   CAST((ord - 1) // 8 AS BIGINT) AS chunk_idx,
+                   string_agg(w, ' ' ORDER BY ord) AS text
+            FROM w GROUP BY doc_id, chunk_idx
+            HAVING count(*) = 8
+        """,
     }

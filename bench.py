@@ -143,7 +143,7 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "pii_scrub", "norm_dedup", "dup_line_stats", "lineitem_corr",
             "customer_order_profile", "user_activity_ledger",
             "dedup_lines", "dsir_resample", "event_funnel",
-            "heavy_hitters", "user_retention",
+            "heavy_hitters", "user_retention", "chunk_documents",
             "semdedup",
             "lang_count", "quality_filter", "doc_fingerprint", "lang_id",
             "doc_sample", "ngram_top", "simhash_docs", "ann_ivf",

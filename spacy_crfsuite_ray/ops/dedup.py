@@ -1143,13 +1143,13 @@ def minhash_dedup_pairs_checked(
 CHUNK_WORDS = 8
 
 
-def _chunk_key_rows(batch: pa.Table, k: int = CHUNK_WORDS) -> pa.Table:
-    """Explode each document into its consecutive full k-word chunks and
-    emit (md5(chunk), doc_id) rows. Chunk construction is pure list-offset
-    arithmetic (split once, gather, one binary_join) — no per-word Python.
-    The shuffle carries a 32-hex key + int64, never the chunk text.
-    Split is on a literal single space to mirror SQL string_split(text,' ')
-    byte-for-byte (boundary empties and all)."""
+def _chunk_text_rows(batch: pa.Table, k: int):
+    """Shared chunk-explode core: each document's consecutive full k-word
+    chunks as (doc_row_indices, within-doc chunk indices, chunk texts).
+    Pure list-offset arithmetic (split once, gather, one binary_join) — no
+    per-word Python. Split is on a literal single space to mirror SQL
+    string_split(text, ' ') byte-for-byte (boundary empties and all).
+    Returns None when the batch yields no full chunk."""
     lst = pc.split_pattern(batch.column("text"), " ")
     if isinstance(lst, pa.ChunkedArray):
         lst = lst.combine_chunks()
@@ -1158,8 +1158,7 @@ def _chunk_key_rows(batch: pa.Table, k: int = CHUNK_WORDS) -> pa.Table:
     m = counts // k                      # full chunks per doc
     total = int(m.sum()) * k
     if total == 0:
-        return pa.table({"h": pa.array([], pa.string()),
-                         "doc_id": pa.array([], pa.int64())})
+        return None
     offs = np.concatenate([[0], np.cumsum(counts)])
     base = np.repeat(offs[:-1], m * k)
     within = np.arange(total) - np.repeat(
@@ -1172,6 +1171,20 @@ def _chunk_key_rows(batch: pa.Table, k: int = CHUNK_WORDS) -> pa.Table:
     )
     chunk_text = pc.binary_join(chunks, " ")
     doc_of = np.repeat(np.arange(len(counts)), m)
+    cidx = np.arange(int(m.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(m)])[:-1], m
+    )
+    return doc_of, cidx, chunk_text
+
+
+def _chunk_key_rows(batch: pa.Table, k: int = CHUNK_WORDS) -> pa.Table:
+    """(md5(chunk), doc_id) rows over _chunk_text_rows — the shuffle
+    carries a 32-hex key + int64, never the chunk text."""
+    rows = _chunk_text_rows(batch, k)
+    if rows is None:
+        return pa.table({"h": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64())})
+    doc_of, _, chunk_text = rows
     return pa.table(
         {
             "h": pa.array(
@@ -1182,6 +1195,41 @@ def _chunk_key_rows(batch: pa.Table, k: int = CHUNK_WORDS) -> pa.Table:
                 pa.int64(),
             ),
         }
+    )
+
+
+def chunk_documents(sf_dir: str, k: int = CHUNK_WORDS) -> "rd.Dataset":
+    """Training-chunk EXPORT (the transform chunk_dup_stats only measures):
+    explode every document into its consecutive full k-word chunks as
+    (doc_id, chunk_idx, text) rows — the one-to-many prep step that turns a
+    cleaned corpus into fixed-size training units. Batch-local flat
+    expansion, zero shuffle; shares _chunk_text_rows with chunk_dup_stats
+    so the chunk semantics (and the SQL oracle's (ord-1)//k grouping)
+    cannot drift between the stats and the export."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = _chunk_text_rows(batch, k)
+        if rows is None:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+                 ("text", pa.string())]
+            ).empty_table()
+        doc_of, cidx, chunk_text = rows
+        return pa.table(
+            {
+                "doc_id": pc.cast(
+                    batch.column("doc_id").take(
+                        pa.array(doc_of, pa.int64())
+                    ),
+                    pa.int64(),
+                ),
+                "chunk_idx": pa.array(cidx, pa.int64()),
+                "text": chunk_text,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
     )
 
 
