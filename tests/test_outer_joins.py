@@ -48,6 +48,11 @@ def fixture_dir(tmp_path_factory):
                 # order but no events
                 "user_id": pa.array([1, 4, 4], pa.int64()),
                 "value": pa.array([10.5, 3.25, 7.0], pa.float64()),
+                # ts spans two weeks so user_retention has a nonzero offset
+                "ts": pa.array(
+                    [1704067200000000, 1704067300000000, 1704672000000000],
+                    pa.timestamp("us"),
+                ),
             }
         ),
         str(d / "events.parquet"),
@@ -161,7 +166,8 @@ def test_outer_join_driver_and_distributed_paths_equal(ray_session,
             sorted(df.columns)).reset_index(drop=True)
 
     for fn in [relational.customer_order_profile,
-               relational.user_activity_ledger]:
+               relational.user_activity_ledger,
+               relational.user_retention]:
         driver = frame(fn(fixture_dir))
         monkeypatch.setattr(relational, "OUTER_JOIN_DRIVER_MAX_ROWS", 0)
         dist = frame(fn(fixture_dir))
