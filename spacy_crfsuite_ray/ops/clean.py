@@ -284,3 +284,72 @@ def scrub_documents(input_path: str) -> "rd.Dataset":
         return pa.table(cols)
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# Pile-style domain-mixing weights: named sources are up/down-weighted
+# against a default. Accept probability = weight (capped at 1), decided by
+# the same deterministic md5-prefix threshold as dsir_resample/doc_sample.
+MIXTURE_WEIGHTS = (("src0", 1.0), ("src1", 0.75), ("src2", 0.5))
+MIXTURE_DEFAULT_WEIGHT = 0.25
+
+
+def _mix_threshold_hex(weight: float) -> str:
+    """Fixed-width lowercase hex of floor(weight * 65536) capped at ffff —
+    lexicographic compare against substr(md5(text), 1, 4) equals numeric."""
+    return format(min(65535, int(weight * 65536)), "04x")
+
+
+def source_mixture_sample(sf_dir: str) -> "rd.Dataset":
+    """Training-mixture construction (the Pile/Dolma source-weighting
+    step): keep each doc with probability equal to its source's mixing
+    weight, decided by the deterministic md5-prefix threshold — shard- and
+    re-run-stable, zero shuffle, one pruned scan. Emits the kept docs'
+    (doc_id, source) plus the applied threshold so the mix is auditable."""
+    weight_of = dict(MIXTURE_WEIGHTS)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import text_md5
+
+        src = batch.column("source").to_pylist()
+        thresh = np.array(
+            [_mix_threshold_hex(
+                weight_of.get(s2, MIXTURE_DEFAULT_WEIGHT)) for s2 in src],
+            dtype="<U4",
+        )
+        fp = np.array(
+            [text_md5(t)[:4] for t in batch.column("text").to_pylist()],
+            dtype="<U4",
+        )
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "keep_threshold": pa.array(thresh.tolist(), pa.string()),
+            }
+        )
+        return out.filter(pa.array(fp < thresh))
+
+    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+def source_mixture_sample_sql() -> str:
+    """DuckDB mirror of source_mixture_sample: same per-source hex
+    thresholds, same md5-prefix accept test."""
+    cases = "\n                        ".join(
+        f"WHEN '{s}' THEN '{_mix_threshold_hex(w)}'"
+        for s, w in MIXTURE_WEIGHTS
+    )
+    return f"""
+        SELECT doc_id, source,
+               CASE source
+                        {cases}
+                        ELSE '{_mix_threshold_hex(MIXTURE_DEFAULT_WEIGHT)}'
+               END AS keep_threshold
+        FROM documents
+        WHERE substr(md5(text), 1, 4) < CASE source
+                        {cases}
+                        ELSE '{_mix_threshold_hex(MIXTURE_DEFAULT_WEIGHT)}'
+               END
+    """
