@@ -578,9 +578,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     dup_ngram_fraction / dup_span_coverage / dsir_weights / pii_scrub /
     norm_dedup / dup_line_stats / lineitem_corr / customer_order_profile /
     user_activity_ledger / dedup_lines / dsir_resample / event_funnel / heavy_hitters / user_retention /
-    chunk_documents / source_mixture_sample (no
+    chunk_documents / source_mixture_sample / corpus_report (no
     prior driver evidence — their oracle verification is IN-REPO ONLY).
-    All 71 oracled entries are oracle-checked in-repo by tests/test_ops.py
+    All 72 oracled entries are oracle-checked in-repo by tests/test_ops.py
     / test_graph.py / test_kg_oracles.py with the same DuckDB
     comparison."""
     from spacy_crfsuite_ray.ops import (
@@ -667,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": relational.user_retention,
         "chunk_documents": dedup.chunk_documents,
         "source_mixture_sample": clean.source_mixture_sample,
+        "corpus_report": clean.corpus_report,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1512,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_ledger": _relational_ops.user_activity_ledger_sql(),
         "dedup_lines": _clean.dedup_lines_sql(),
         "source_mixture_sample": _clean.source_mixture_sample_sql(),
+        "corpus_report": _clean.corpus_report_sql(),
         "event_funnel": _relational_ops.event_funnel_sql(),
         "heavy_hitters": _sketch_ops.heavy_hitters_sql(),
         "user_retention": _relational_ops.user_retention_sql(),

@@ -144,7 +144,7 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "customer_order_profile", "user_activity_ledger",
             "dedup_lines", "dsir_resample", "event_funnel",
             "heavy_hitters", "user_retention", "chunk_documents",
-            "source_mixture_sample",
+            "source_mixture_sample", "corpus_report",
             "semdedup",
             "lang_count", "quality_filter", "doc_fingerprint", "lang_id",
             "doc_sample", "ngram_top", "simhash_docs", "ann_ivf",

@@ -353,3 +353,187 @@ def source_mixture_sample_sql() -> str:
                         ELSE '{_mix_threshold_hex(MIXTURE_DEFAULT_WEIGHT)}'
                END
     """
+
+
+# distinct-fingerprint merge gate for corpus_report — same discipline as
+# sketch.DISTINCT_DRIVER_MAX_ROWS: below it the per-batch md5 lists merge
+# on the driver (≤ rows × 16 bytes), above it a distributed groupby counts
+# distinct fingerprints. Equality of the paths is tested.
+REPORT_DRIVER_MAX_ROWS = 5_000_000
+
+
+def corpus_report(sf_dir: str):
+    """One-row corpus health report — the first query a user runs against
+    a new corpus: doc/char/token counts, distinct languages, docs with any
+    PII hit, and exact + normalized duplicate-document counts. ONE pruned
+    scan: every scalar folds from a per-batch combiner (counts, distinct
+    langs, binary md5 digests of raw and normalized text); distinct
+    fingerprints merge on the driver below REPORT_DRIVER_MAX_ROWS and via
+    a distributed groupby above it."""
+    from ..core.tokenizer import TOKEN_PATTERN
+    from ..functions.tables import read_documents
+
+    pii_any = "|".join(p for p, _ in PII_REDACTIONS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        text = batch.column("text")
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(text), NORM_WS, " "),
+            " ",
+        )
+        raw_fp = [
+            hashlib.md5(t.encode()).digest() for t in text.to_pylist()
+        ]
+        norm_fp = [
+            hashlib.md5(t.encode()).digest() for t in norm.to_pylist()
+        ]
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "total_chars": pa.array(
+                    [pc.sum(pc.utf8_length(text)).as_py() or 0], pa.int64()
+                ),
+                "total_tokens": pa.array(
+                    [pc.sum(pc.count_substring_regex(
+                        text, TOKEN_PATTERN)).as_py() or 0],
+                    pa.int64(),
+                ),
+                "docs_with_pii": pa.array(
+                    [pc.sum(pc.cast(pc.match_substring_regex(
+                        text, pii_any), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "langs": pa.array(
+                    [sorted(set(batch.column("lang").to_pylist()))],
+                    pa.list_(pa.string()),
+                ),
+                "raw_fp": pa.array([b"".join(sorted(set(raw_fp)))],
+                                   pa.binary()),
+                "norm_fp": pa.array([b"".join(sorted(set(norm_fp)))],
+                                    pa.binary()),
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    from ..functions.tables import collect_table
+
+    src = read_documents(sf_dir, ["text", "lang"])
+    n_rows = pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+    partials = src.map_batches(partial, batch_format="pyarrow")
+
+    if n_rows <= REPORT_DRIVER_MAX_ROWS:
+        tbl = collect_table(
+            partials,
+            empty_schema=pa.schema(
+                [("n_docs", pa.int64()), ("total_chars", pa.int64()),
+                 ("total_tokens", pa.int64()), ("docs_with_pii", pa.int64()),
+                 ("langs", pa.list_(pa.string())),
+                 ("raw_fp", pa.binary()), ("norm_fp", pa.binary())]
+            ),
+        )
+
+        def distinct_digests(col) -> int:
+            blobs = set()
+            for buf in tbl.column(col).to_pylist():
+                blobs.update(
+                    buf[i:i + 16] for i in range(0, len(buf), 16)
+                )
+            return len(blobs)
+
+        n_docs = int(pc.sum(tbl.column("n_docs")).as_py() or 0)
+        langs = set()
+        for ls in tbl.column("langs").to_pylist():
+            langs.update(ls)
+        n_exact_distinct = distinct_digests("raw_fp")
+        n_norm_distinct = distinct_digests("norm_fp")
+        total_chars = int(pc.sum(tbl.column("total_chars")).as_py() or 0)
+        total_tokens = int(pc.sum(tbl.column("total_tokens")).as_py() or 0)
+        docs_with_pii = int(
+            pc.sum(tbl.column("docs_with_pii")).as_py() or 0
+        )
+    else:
+        # distributed: scalars fold from the same partials; each distinct
+        # count is a fingerprint groupby (the exact at-scale shape)
+        tbl = collect_table(
+            partials.select_columns(
+                ["n_docs", "total_chars", "total_tokens", "docs_with_pii"]
+            ),
+            empty_schema=pa.schema(
+                [("n_docs", pa.int64()), ("total_chars", pa.int64()),
+                 ("total_tokens", pa.int64()),
+                 ("docs_with_pii", pa.int64())]
+            ),
+        )
+        n_docs = int(pc.sum(tbl.column("n_docs")).as_py() or 0)
+        total_chars = int(pc.sum(tbl.column("total_chars")).as_py() or 0)
+        total_tokens = int(pc.sum(tbl.column("total_tokens")).as_py() or 0)
+        docs_with_pii = int(
+            pc.sum(tbl.column("docs_with_pii")).as_py() or 0
+        )
+
+        def fp_rows(col):
+            def fn(batch: pa.Table) -> pa.Table:
+                out = partial(batch)
+                buf = out.column(col)[0].as_py()
+                return pa.table(
+                    {"fp": pa.array(
+                        [buf[i:i + 16]
+                         for i in range(0, len(buf), 16)], pa.binary()
+                    )}
+                )
+            return fn
+
+        n_exact_distinct = (
+            src.map_batches(fp_rows("raw_fp"), batch_format="pyarrow")
+            .groupby("fp").count().count()
+        )
+        n_norm_distinct = (
+            src.map_batches(fp_rows("norm_fp"), batch_format="pyarrow")
+            .groupby("fp").count().count()
+        )
+        langs = set(src.select_columns(["lang"]).unique("lang"))
+
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "total_chars": pa.array([total_chars], pa.int64()),
+            "total_tokens": pa.array([total_tokens], pa.int64()),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+            "docs_with_pii": pa.array([docs_with_pii], pa.int64()),
+            "exact_dup_docs": pa.array(
+                [n_docs - n_exact_distinct], pa.int64()
+            ),
+            "norm_dup_docs": pa.array(
+                [n_docs - n_norm_distinct], pa.int64()
+            ),
+        }
+    )
+
+
+def corpus_report_sql() -> str:
+    """DuckDB mirror of corpus_report: the same scalars in one SELECT."""
+    from ..core.tokenizer import TOKEN_PATTERN
+
+    pii_any = "|".join(p for p, _ in PII_REDACTIONS)
+    return f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(sum(length(text)), 0) AS BIGINT)
+                   AS total_chars,
+               CAST(COALESCE(sum(len(regexp_extract_all(text,
+                   '{TOKEN_PATTERN}'))), 0) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COALESCE(sum(CASE WHEN regexp_matches(text,
+                   '{pii_any}') THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS docs_with_pii,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                   AS exact_dup_docs,
+               CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(
+                   lower(text), '{NORM_WS}', ' ', 'g')))) AS BIGINT)
+                   AS norm_dup_docs
+        FROM documents
+    """

@@ -214,3 +214,23 @@ def test_cli_scrub_writes_parquet(ray_session, fixture_dir, tmp_path):
     ).fetchone()
     assert got[0] == 10
     assert got[1] >= 6  # fixture plants >= 6 redactable PII items
+
+
+def test_corpus_report_paths_equal_and_match_oracle(ray_session,
+                                                    fixture_dir, fix_con,
+                                                    monkeypatch):
+    from spacy_crfsuite_ray.ops import clean
+
+    driver = _cmp(
+        __import__("ray").data.from_arrow(clean.corpus_report(fixture_dir)),
+        clean.corpus_report_sql(),
+        fix_con,
+    )
+    assert driver.docs_with_pii.iloc[0] >= 3
+    assert driver.norm_dup_docs.iloc[0] == 2
+    monkeypatch.setattr(clean, "REPORT_DRIVER_MAX_ROWS", 0)
+    import pandas as pd
+
+    dist = clean.corpus_report(fixture_dir).to_pandas()
+    dist = dist[sorted(dist.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(driver, dist, check_dtype=False)
