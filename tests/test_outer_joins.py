@@ -141,12 +141,22 @@ def test_event_funnel_empty_events_matches_oracle(ray_session, tmp_path):
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
     )
-    a = _cmp(
-        __import__("ray").data.from_arrow(relational.event_funnel(str(d))),
-        relational.event_funnel_sql(),
-        con,
-    )
+    a = _cmp(relational.event_funnel(str(d)),
+             relational.event_funnel_sql(), con)
     assert a.n_users.tolist() == [0, 0, 0]
+
+    # the other events-family ops must also agree with their oracles on
+    # the empty table (typed-empty results, no crash). Results pass to the
+    # comparator UNWRAPPED — ray.data.from_arrow drops the schema of a
+    # 0-row table on to_pandas
+    from spacy_crfsuite_ray.ops import sketch
+
+    hh = _cmp(sketch.heavy_hitters(str(d)),
+              sketch.heavy_hitters_sql(), con)
+    assert len(hh) == 0
+    r = _cmp(relational.user_retention(str(d)),
+             relational.user_retention_sql(), con)
+    assert len(r) == 0
 
 
 def test_outer_join_driver_and_distributed_paths_equal(ray_session,
