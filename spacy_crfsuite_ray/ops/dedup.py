@@ -2209,7 +2209,10 @@ def dup_span_coverage(sf_dir: str, k: int = 3) -> "rd.Dataset":
             zero_copy_only=False
         )
         # per-doc base rows (first gram row of each doc — rows are
-        # doc-contiguous by construction)
+        # doc-contiguous: each doc lands entirely in the long XOR short
+        # section of _gram_pos_batch, so runs of equal ids are per-doc,
+        # but base_ids is NOT sorted by value — short docs follow long
+        # ones and batch row order itself carries no doc_id ordering)
         first = np.concatenate([[0], np.nonzero(np.diff(ids))[0] + 1])
         base_ids, base_nw = ids[first], nw[first]
         covered = np.zeros(len(first), np.int64)
@@ -2224,7 +2227,10 @@ def dup_span_coverage(sf_dir: str, k: int = 3) -> "rd.Dataset":
             max_w = int(nw.max())
             uniq = np.unique(rep_d * max_w + pos)
             u_docs, u_counts = np.unique(uniq // max_w, return_counts=True)
-            covered[np.searchsorted(base_ids, u_docs)] = u_counts
+            order = np.argsort(base_ids, kind="stable")
+            covered[order[np.searchsorted(base_ids[order], u_docs)]] = (
+                u_counts
+            )
         return _span_finish(base_ids, base_nw, covered)
 
     return src.map_batches(probe, batch_format="pyarrow")
