@@ -861,24 +861,25 @@ def _ngram_explode(k: int):
     """docs → one row per (sh, doc_id, sz): the doc's UNIQUE word-k-gram
     shingles (strings — they ARE the group key the SQL oracle must agree
     on; the minhash path is the hashed-key production variant) plus the
-    per-doc unique-shingle count."""
+    per-doc unique-shingle count. Vectorized end to end (Arrow RE2 split
+    + offset window joins + one per-batch group_by dedupe) — the scalar
+    twin ``word_shingles`` defines the semantics."""
+    from ..functions.shingles import shingle_set_rows
+
+    out_schema = pa.schema(
+        [("sh", pa.string()), ("doc_id", pa.int64()), ("sz", pa.int64())]
+    )
 
     def explode(batch: pa.Table) -> pa.Table:
-        shs: List[str] = []
-        ids: List[int] = []
-        szs: List[int] = []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            s = set(word_shingles(text, k))
-            shs.extend(s)
-            ids.extend([doc_id] * len(s))
-            szs.extend([len(s)] * len(s))
+        sh, d, sz = shingle_set_rows(batch.column("text"), k)
+        if len(sh) == 0:
+            return out_schema.empty_table()
         return pa.table(
             {
-                "sh": pa.array(shs, pa.string()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "sz": pa.array(szs, pa.int64()),
+                "sh": sh,
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64())
+                .take(pa.array(d, pa.int64())),
+                "sz": pa.array(sz, pa.int64()),
             }
         )
 
@@ -1782,13 +1783,15 @@ def decontaminate(
 
     src = _docs(sf_dir, ["doc_id", "text"])
 
+    from ..functions.shingles import shingle_occurrences, shingle_set_rows
+
     def bench_shingles(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), np.int64)
         sub = batch.filter(pa.array(ids % bench_mod == 0))
-        shs: set = set()
-        for text in sub.column("text").to_pylist():
-            shs.update(word_shingles(text, ngram_k))
-        return pa.table({"sh": pa.array(sorted(shs), pa.string())})
+        sh, _, _, _ = shingle_occurrences(sub.column("text"), ngram_k)
+        if len(sh) == 0:
+            return pa.table({"sh": pa.array([], pa.string())})
+        return pa.table({"sh": pc.unique(sh)})
 
     bench_sh = src.map_batches(
         bench_shingles, batch_format="pyarrow"
@@ -1811,25 +1814,14 @@ def decontaminate(
         bench = get_broadcast(bref)
         ids_in = np.asarray(batch.column("doc_id"), np.int64)
         sub = batch.filter(pa.array(ids_in % bench_mod != 0))
-        shs: List[str] = []
-        ids: List[int] = []
-        szs: List[int] = []
-        for doc_id, text in zip(
-            sub.column("doc_id").to_pylist(), sub.column("text").to_pylist()
-        ):
-            s = set(word_shingles(text, ngram_k))
-            shs.extend(s)
-            ids.extend([doc_id] * len(s))
-            szs.extend([len(s)] * len(s))
-        if not shs:
+        sh, d, sz = shingle_set_rows(sub.column("text"), ngram_k)
+        if len(sh) == 0:
             return out_schema.empty_table()
-        hit = pc.cast(
-            pc.is_in(pa.array(shs, pa.string()), value_set=bench),
-            pa.int64(),
-        )
+        hit = pc.cast(pc.is_in(sh, value_set=bench), pa.int64())
         agg = pa.table(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "n_shingles": pa.array(szs, pa.int64()),
+            {"doc_id": pc.cast(sub.column("doc_id"), pa.int64())
+             .take(pa.array(d, pa.int64())),
+             "n_shingles": pa.array(sz, pa.int64()),
              "n_hit": hit}
         ).group_by(["doc_id", "n_shingles"]).aggregate([("n_hit", "sum")]) \
             .rename_columns(["doc_id", "n_shingles", "n_hit"])
@@ -2049,76 +2041,17 @@ def _gram_pos_batch(k: int):
          ("start", pa.int64()), ("n_words", pa.int64())]
     )
 
-    def rows(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return out_schema.empty_table()
-        lst = pc.split_pattern_regex(
-            pc.coalesce(batch.column("text"), ""), r"\s+"
-        )
-        if isinstance(lst, pa.ChunkedArray):
-            lst = lst.combine_chunks()
-        raw_counts = pc.list_value_length(lst).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        flat = lst.flatten()
-        keep = pc.not_equal(flat, "")
-        keep_np = keep.to_numpy(zero_copy_only=False)
-        doc_of_word = np.repeat(
-            np.arange(len(raw_counts)), raw_counts
-        )[keep_np]
-        flat = flat.filter(keep)
-        counts = np.bincount(doc_of_word, minlength=len(raw_counts))
-        offs = np.concatenate([[0], np.cumsum(counts)])
+    from ..functions.shingles import shingle_occurrences
 
-        grams: list = []
-        gram_docs: list = []
-        gram_starts: list = []
-        long_mask = counts >= k
-        if long_mask.any():
-            n_g = counts - (k - 1)
-            long_docs = np.nonzero(long_mask)[0]
-            starts = np.concatenate(
-                [np.arange(offs[d], offs[d] + n_g[d]) for d in long_docs]
-            )
-            parts = [flat.take(pa.array(starts + j, pa.int64()))
-                     for j in range(k)]
-            joined = parts[0]
-            for piece in parts[1:]:
-                joined = pc.binary_join_element_wise(joined, piece, " ")
-            grams.append(joined)
-            gram_docs.append(np.repeat(long_docs, n_g[long_mask]))
-            gram_starts.append(
-                starts - np.repeat(offs[long_docs], n_g[long_mask])
-            )
-        short = np.nonzero((counts > 0) & (counts < k))[0]
-        if len(short):
-            idx = np.concatenate(
-                [np.arange(offs[d], offs[d + 1]) for d in short]
-            )
-            sub = pa.ListArray.from_arrays(
-                pa.array(
-                    np.concatenate([[0], np.cumsum(counts[short])]),
-                    pa.int32(),
-                ),
-                flat.take(pa.array(idx, pa.int64())),
-            )
-            grams.append(pc.binary_join(sub, " "))
-            gram_docs.append(short)
-            gram_starts.append(np.zeros(len(short), np.int64))
-        if not grams:
+    def rows(batch: pa.Table) -> pa.Table:
+        sh, d, starts, counts = shingle_occurrences(batch.column("text"), k)
+        if len(sh) == 0:
             return out_schema.empty_table()
-        sh = pa.concat_arrays(
-            [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
-             for g in grams]
-        )
-        d = np.concatenate(gram_docs)
         doc_ids = np.asarray(batch.column("doc_id"), np.int64)
         return pa.table(
             {"sh": sh,
              "doc_id": pa.array(doc_ids[d], pa.int64()),
-             "start": pa.array(
-                 np.concatenate(gram_starts).astype(np.int64), pa.int64()
-             ),
+             "start": pa.array(starts, pa.int64()),
              "n_words": pa.array(counts[d], pa.int64())}
         )
 

@@ -319,25 +319,50 @@ def _tfidf_score(tf, df, n_docs: int):
 
 def _term_rows_batch(batch: pa.Table) -> pa.Table:
     """docs → one row per (doc_id, term, tf): per-doc term counts of
-    ASCII-letter tokens. The per-doc Counter is the combiner — the shuffle
-    (or broadcast build) only ever sees unique terms per doc, never tokens."""
-    import re
-    from collections import Counter
-
-    pat = re.compile(_TFIDF_TOKEN)
-    ids, terms, tfs = [], [], []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        c = Counter(t.lower() for t in pat.findall(text))
-        ids.extend([doc_id] * len(c))
-        terms.extend(c.keys())
-        tfs.extend(c.values())
+    ASCII-letter tokens. The per-batch group_by is the combiner — the
+    shuffle (or broadcast build) only ever sees unique terms per doc,
+    never tokens. Vectorized: regexp_extract_all('[A-Za-z]+') is
+    re-expressed as an RE2 split on the complement class (identical token
+    stream), ascii_lower matches per-token Python .lower() exactly on
+    [A-Za-z]-only tokens, and the (doc, term) count is one Arrow group_by.
+    Rows come out DOC-CONTIGUOUS in batch row order (stable sort on the
+    row index) — downstream segment reductions rely on that."""
+    n = batch.num_rows
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "term": pa.array([], pa.string()),
+         "tf": pa.array([], pa.int64())}
+    )
+    if n == 0:
+        return empty
+    lst = pc.split_pattern_regex(
+        pc.coalesce(batch.column("text"), ""), "[^A-Za-z]+"
+    )
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    raw_counts = lst.value_lengths().to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = lst.flatten()
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(n), raw_counts)[keep_np]
+    if len(doc_of) == 0:
+        return empty
+    terms = pc.ascii_lower(flat.filter(keep))
+    agg = (
+        pa.table({"d": pa.array(doc_of, pa.int64()), "term": terms})
+        .group_by(["d", "term"])
+        .aggregate([([], "count_all")])
+    )
+    agg = agg.take(pc.sort_indices(agg.column("d")))
     return pa.table(
         {
-            "doc_id": pa.array(ids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
-            "tf": pa.array(tfs, pa.int64()),
+            "doc_id": pc.cast(
+                batch.column("doc_id").take(agg.column("d")), pa.int64()
+            ),
+            "term": agg.column("term"),
+            "tf": pc.cast(agg.column("count_all"), pa.int64()),
         }
     )
 
@@ -457,24 +482,36 @@ def ngram_top(sf_dir: str, k: int = 20) -> pa.Table:
     groupby each bigram lives in exactly one block, so every global top-k
     row is in its block's top-k — no global sort of the corpus-wide bigram
     vocabulary (billions of rows at web scale) just to keep 20."""
-    from collections import Counter
-
     from ..functions.tables import collect_table
 
-    def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            w = t.lower().split()
-            for i in range(len(w) - 1):
-                c[w[i] + " " + w[i + 1]] += 1
-        return pa.table(
-            {
-                "ng": pa.array(list(c.keys()), pa.string()),
-                "n": pa.array(list(c.values()), pa.int64()),
-            }
-        )
-
     schema = pa.schema([("ng", pa.string()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # vectorized bigram combiner (same windowing as
+        # top_bigram_fraction): lower + RE2 \s+ split + drop empties,
+        # every word except each doc's last is a bigram's left element,
+        # one Arrow group_by counts the batch's bigrams
+        flat, counts = _filtered_words(batch.column("text"))
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        keep = np.ones(int(offs[-1]), dtype=bool)
+        keep[offs[1:][counts > 0] - 1] = False
+        left = np.nonzero(keep)[0]
+        if len(left) == 0:
+            return schema.empty_table()
+        bigrams = pc.binary_join_element_wise(
+            flat.take(pa.array(left, pa.int64())),
+            flat.take(pa.array(left + 1, pa.int64())),
+            " ",
+        )
+        agg = (
+            pa.table({"ng": bigrams})
+            .group_by("ng")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"ng": agg.column("ng"),
+             "n": pc.cast(agg.column("count_all"), pa.int64())}
+        )
 
     def topk_block(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
@@ -876,6 +913,8 @@ def dup_ngram_fraction(sf_dir: str, k: int = 3) -> "rd.Dataset":
     regexp_split_to_array '\\s+'), list-offset k-gram joins, one Arrow
     group_by per batch — no per-token Python."""
 
+    from ..functions.shingles import shingle_occurrences
+
     def frac(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {"doc_id": pa.array([], pa.int64()),
@@ -883,66 +922,10 @@ def dup_ngram_fraction(sf_dir: str, k: int = 3) -> "rd.Dataset":
              "n_distinct": pa.array([], pa.int64()),
              "dup_frac_c6": pa.array([], pa.int64())}
         )
-        if batch.num_rows == 0:
+        sh, doc_of, _, _ = shingle_occurrences(batch.column("text"), k)
+        if len(sh) == 0:
             return empty
-        lst = pc.split_pattern_regex(batch.column("text"), r"\s+")
-        if isinstance(lst, pa.ChunkedArray):
-            lst = lst.combine_chunks()
-        raw_counts = pc.list_value_length(lst).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        flat = lst.flatten()
-        keep = pc.not_equal(flat, "")
-        keep_np = keep.to_numpy(zero_copy_only=False)
-        doc_of_word = np.repeat(
-            np.arange(len(raw_counts)), raw_counts
-        )[keep_np]
-        flat = flat.filter(keep)
-        counts = np.bincount(doc_of_word, minlength=len(raw_counts))
-        offs = np.concatenate([[0], np.cumsum(counts)])
-
-        grams: list = []
-        gram_docs: list = []
-        # long docs (>= k words): window joins via offset takes
-        long_mask = counts >= k
-        if long_mask.any():
-            n_g = counts - (k - 1)
-            starts = np.concatenate(
-                [np.arange(offs[d], offs[d] + n_g[d])
-                 for d in np.nonzero(long_mask)[0]]
-            )
-            parts = [flat.take(pa.array(starts + j, pa.int64()))
-                     for j in range(k)]
-            joined = parts[0]
-            for piece in parts[1:]:
-                joined = pc.binary_join_element_wise(joined, piece, " ")
-            grams.append(joined)
-            gram_docs.append(
-                np.repeat(np.nonzero(long_mask)[0], n_g[long_mask])
-            )
-        # short docs (0 < words < k): ONE whole-text shingle each (the
-        # shared CTEs' CASE branch)
-        short = np.nonzero((counts > 0) & (counts < k))[0]
-        if len(short):
-            idx = np.concatenate(
-                [np.arange(offs[d], offs[d + 1]) for d in short]
-            )
-            sub = pa.ListArray.from_arrays(
-                pa.array(
-                    np.concatenate([[0], np.cumsum(counts[short])]),
-                    pa.int32(),
-                ),
-                flat.take(pa.array(idx, pa.int64())),
-            )
-            grams.append(pc.binary_join(sub, " "))
-            gram_docs.append(short)
-        if not grams:
-            return empty
-        sh = pa.concat_arrays(
-            [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
-             for g in grams]
-        )
-        d = pa.array(np.concatenate(gram_docs), pa.int64())
+        d = pa.array(doc_of, pa.int64())
         per = pa.table({"d": d, "sh": sh}).group_by(["d", "sh"]) \
             .aggregate([("sh", "count")])
         agg = per.select(["d", "sh_count"]).group_by("d").aggregate(
