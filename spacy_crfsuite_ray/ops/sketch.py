@@ -290,16 +290,21 @@ def heavy_hitters(sf_dir: str, table: str = "events",
     Pass 1: each batch emits keys with LOCAL count >= phi * batch_rows. By
     pigeonhole, any key with GLOBAL count >= phi * n exceeds the local
     threshold in at least one batch, so the union is a guaranteed
-    superset; it carries at most 1/phi keys per batch (bounded driver
-    merge, vs a full-key shuffle for a groupby).
+    superset, at most 1/phi keys per batch. A distributed groupby dedupes
+    that stream BEFORE the driver collect, so the driver holds O(distinct
+    candidates) rows, not O(blocks / phi) — at an adversarial distribution
+    the raw stream grows with block count.
     Pass 2: the candidate set is broadcast once and every batch emits
-    exact candidate counts (is_in probe + Arrow group_by) — a bounded
-    (candidate, n) stream folded on the driver; keys failing the global
-    threshold are dropped. ZERO shuffle in either pass.
+    exact candidate counts (is_in probe + numpy fold); a distributed
+    groupby-sum folds the (candidate, n) partials so the driver again
+    collects only distinct candidates. Keys failing the global threshold
+    are dropped. The only shuffles are the two bounded candidate streams —
+    raw rows never leave their batch.
     """
     import ray
 
     from ..functions.broadcast import get_broadcast
+    from ..functions.tables import stable_rename
 
     src = read_parquet_nometa(f"{sf_dir}/{table}.parquet", columns=[column])
     import pyarrow.parquet as pq
@@ -320,8 +325,15 @@ def heavy_hitters(sf_dir: str, table: str = "events",
     from ..functions.tables import collect_table
 
     cand_tbl = collect_table(
-        src.map_batches(local_candidates, batch_format="pyarrow"),
-        empty_schema=pa.schema([(column, pa.int64())]),
+        src.map_batches(local_candidates, batch_format="pyarrow")
+        .groupby(column)
+        .count()
+        .map_batches(
+            stable_rename([column, "n_blocks"], [pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        ),
+        empty_schema=pa.schema([(column, pa.int64()),
+                                ("n_blocks", pa.int64())]),
     )
     cands = np.unique(np.asarray(cand_tbl.column(column), dtype=np.int64))
     if len(cands) == 0:
@@ -342,9 +354,15 @@ def heavy_hitters(sf_dir: str, table: str = "events",
         )
 
     folded = collect_table(
-        src.map_batches(exact_counts, batch_format="pyarrow"),
-        empty_schema=pa.schema([(column, pa.int64()), ("n", pa.int64())]),
-    ).group_by(column).aggregate([("n", "sum")])
+        src.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby(column)
+        .sum("n")
+        .map_batches(
+            stable_rename([column, "n_sum"], [pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        ),
+        empty_schema=pa.schema([(column, pa.int64()), ("n_sum", pa.int64())]),
+    )
     keys = np.asarray(folded.column(column), dtype=np.int64)
     totals = np.asarray(folded.column("n_sum"), dtype=np.int64)
     keep = totals >= threshold
