@@ -1440,16 +1440,20 @@ def oracle_sql() -> dict[str, str]:
         # target side is source='src0'; same token regex as token_rarity
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         # mirror of ops.text.dsir_resample: the weights CTE composed with
-        # the deterministic md5-prefix accept test (P(keep) ~ weight/4,
-        # capped; fixed-width lowercase hex compares as numeric)
+        # the deterministic md5-prefix accept test (P(keep) ~ weight/4;
+        # fixed-width lowercase hex compares as numeric; weight >= denom
+        # means keep-all via threshold 'g', which sorts above every hex
+        # prefix — a 0xffff cap would drop md5-prefix-'ffff' docs)
         "dsir_resample": f"""
             WITH base AS ({_DSIR_WEIGHTS_SQL}),
             d AS (SELECT doc_id, substr(md5(text), 1, 4) AS fp
                   FROM documents)
             SELECT b.doc_id, b.n_tokens, b.dsir_weight_c6
             FROM base b JOIN d USING (doc_id)
-            WHERE d.fp < printf('%04x',
-                least(65535, b.dsir_weight_c6 * 65536 // 4000000))
+            WHERE d.fp < CASE
+                WHEN b.dsir_weight_c6 >= 4000000 THEN 'g'
+                ELSE printf('%04x', b.dsir_weight_c6 * 65536 // 4000000)
+            END
         """,
         # mirror of ops.text.token_rarity: per-term rarity total/count(term)
         # rounded c6 BEFORE the per-doc sum (order-independent int64 adds on

@@ -294,9 +294,15 @@ MIXTURE_DEFAULT_WEIGHT = 0.25
 
 
 def _mix_threshold_hex(weight: float) -> str:
-    """Fixed-width lowercase hex of floor(weight * 65536) capped at ffff —
-    lexicographic compare against substr(md5(text), 1, 4) equals numeric."""
-    return format(min(65535, int(weight * 65536)), "04x")
+    """Fixed-width lowercase hex of floor(weight * 65536) — lexicographic
+    compare against substr(md5(text), 1, 4) equals numeric. Weight >= 1
+    returns 'g', which sorts above every hex prefix (hex digits top out at
+    'f'), so full-weight sources keep ALL docs — a 0xffff cap would
+    silently drop the ~1/65536 of docs whose md5 prefix is 'ffff'. The SQL
+    oracle is generated from this same function, so parity holds."""
+    if weight >= 1.0:
+        return "g"
+    return format(int(weight * 65536), "04x")
 
 
 def source_mixture_sample(sf_dir: str) -> "rd.Dataset":

@@ -1313,8 +1313,12 @@ def event_value_quantiles(sf_dir: str) -> pa.Table:
             .rename_columns(["event_type", "v_c2", "sum(n)"])
         )
     else:
+        # the histogram can track input size while values are near-unique,
+        # so size the pre-groupby coalesce from the input row count (it
+        # shrinks again once the value DOMAIN saturates) — a fixed 2-part
+        # cap would squeeze a corpus-sized stream through two workers
         hist = (
-            ds.repartition(_small_parts_cap(cap=2))
+            ds.repartition(_small_parts_cap(rows=n_events))
             .groupby(["event_type", "v_c2"])
             .sum("n")
         )
@@ -1605,8 +1609,15 @@ def order_priority_rank(sf_dir: str) -> "rd.Dataset":
             .rename_columns(["p", "c", "n"])
         )
     else:
+        # near-unique prices make the histogram track input size, so size
+        # the pre-groupby coalesce from the order count (ADVICE r4: a
+        # fixed 2-part cap squeezed a corpus-sized stream through two
+        # workers); once the cents DOMAIN saturates the stream shrinks and
+        # join_partitions' row scaling shrinks with it
         hist = _collect_or_empty(
-            partials.repartition(_small_parts_cap(cap=2))
+            partials.repartition(
+                _small_parts_cap(rows=pq.read_metadata(src).num_rows)
+            )
             .groupby(["p", "c"])
             .sum("n")
             .map_batches(

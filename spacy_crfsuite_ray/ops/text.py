@@ -1145,8 +1145,14 @@ def dsir_resample(
                  ("dsir_weight_c6", pa.int64())]
             ).empty_table()
         w = np.asarray(batch.column("dsir_weight_c6"), np.int64)
-        t16 = np.minimum(65535, (w * 65536) // denom_c6)
-        thresh = np.array([format(int(t), "04x") for t in t16])
+        t16 = (w * 65536) // denom_c6
+        # weight >= denom means P(keep) = 1: threshold 'g' compares above
+        # every hex prefix (a 0xffff cap would drop md5-prefix-'ffff' docs)
+        thresh = np.array(
+            ["g" if wi >= denom_c6 else format(int(t), "04x")
+             for wi, t in zip(w, t16)],
+            dtype="<U4",
+        )
         fp = np.asarray(batch.column("fp16").to_pylist(), dtype="<U4")
         return batch.filter(pa.array(fp < thresh)).drop_columns(["fp16"])
 

@@ -146,3 +146,49 @@ def test_heavy_hitters_driver_pull_bounded_by_distinct(
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert set(got.user_id) == {7, 11}
+
+def test_mixture_full_weight_source_keeps_all(ray_session, tmp_path):
+    """ADVICE r4: a weight-1.0 source must keep EVERY doc — the old 0xffff
+    cap silently dropped docs whose md5(text) prefix is 'ffff'. Fixture
+    plants such docs in the full-weight source ('src0') and in a
+    fractional source; engine and oracle must agree AND the src0 planted
+    doc must survive."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from spacy_crfsuite_ray.ops.clean import (
+        _mix_threshold_hex, source_mixture_sample,
+    )
+
+    assert _mix_threshold_hex(1.0) == "g"
+    assert _mix_threshold_hex(0.5) == "8000"
+
+    # md5('probe 36528')[:4] == 'ffff' (and 37522, 50827)
+    sch = pq.read_schema(f"{SF}/documents.parquet")
+    n = 4
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en"] * n,
+        "source": ["src0", "src0", "src1", "zzz"],
+        "text": ["probe 36528", "plain text", "probe 37522", "probe 50827"],
+    }
+    cols = {f.name: rows.get(f.name, [None] * n) for f in sch}
+    t = pa.table({f.name: pa.array(cols[f.name], f.type) for f in sch})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = source_mixture_sample(str(tmp_path)).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    orc = con.execute(E.oracle_sql()["source_mixture_sample"]).fetchdf()
+    orc = orc.sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, orc, check_dtype=False)
+    # both src0 docs kept (incl. the md5-prefix-'ffff' one); the 'ffff'
+    # docs in fractional-weight sources dropped ('ffff' is not < their hex)
+    assert got.doc_id.tolist() == [1, 2]
+    assert set(got.keep_threshold) == {"g"}
