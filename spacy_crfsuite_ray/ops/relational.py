@@ -475,8 +475,9 @@ def event_asof_order(sf_dir: str) -> "rd.Dataset":
     tied orders share a composite value and ``side='right'`` lands after
     the last of them in (…, orderkey) sort order. Above the gate (or if
     the composite would overflow int64) the union-both-sides + ONE
-    user-keyed groupby twin runs; its partitioning assumption is one key's
-    rows fit in a worker (salt the key for pathological users)."""
+    salted-user-keyed groupby twin runs (events split across salts, the
+    user's orders replicated to each salt), so even a pathological user's
+    group is bounded by events/n_salts + their orders."""
     import ray
 
     from ..functions.broadcast import get_broadcast
@@ -544,17 +545,36 @@ def event_asof_order(sf_dir: str) -> "rd.Dataset":
     ).map_batches(probe, batch_format="pyarrow")
 
 
-def _event_asof_joined(sf_dir: str) -> "rd.Dataset":
+ASOF_JOIN_SALTS = 8
+
+
+def _event_asof_joined(
+    sf_dir: str, n_salts: int = ASOF_JOIN_SALTS
+) -> "rd.Dataset":
     """At-scale twin: both sides tagged, UNIONed, hash-partitioned by the
     key in ONE shuffle (groupby), matched inside the group with a sort +
     vectorized searchsorted. Byte-identical to the broadcast probe (same
-    tie rules)."""
+    tie rules).
+
+    Skew safety (VERDICT r4 #6): the group key is SALTED — each event row
+    takes (k, salt = row_position % n_salts) while each order row is
+    replicated to ALL n_salts salts, so every salt bucket holds 1/n_salts
+    of a pathological user's events plus that user's full (small) order
+    set. An asof match only needs the probe row and the whole build side
+    of its key, so the salt changes nothing semantically (equality-tested
+    against the broadcast probe on a 10x-skewed user); the bound on a
+    worker becomes max_user_events / n_salts + max_user_orders instead of
+    max_user_events. Cost: order rows x n_salts through the shuffle — the
+    build side is the small side of every real asof."""
 
     def ev_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table(
             {
                 "k": batch.column("user_id"),
+                "salt": pa.array(
+                    np.arange(n, dtype=np.int64) % n_salts
+                ),
                 "ts": pc.cast(batch.column("ts"), pa.timestamp("us")),
                 "side": pa.array(np.zeros(n, dtype=np.int8)),
                 "event_id": batch.column("event_id"),
@@ -564,13 +584,20 @@ def _event_asof_joined(sf_dir: str) -> "rd.Dataset":
 
     def od_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n), n_salts), pa.int64())
         return pa.table(
             {
-                "k": batch.column("o_custkey"),
-                "ts": pc.cast(batch.column("o_orderdate"), pa.timestamp("us")),
-                "side": pa.array(np.ones(n, dtype=np.int8)),
-                "event_id": pa.nulls(n, pa.int64()),
-                "o_orderkey": batch.column("o_orderkey"),
+                "k": batch.column("o_custkey").take(idx),
+                "salt": pa.array(
+                    np.tile(np.arange(n_salts, dtype=np.int64), n)
+                ),
+                "ts": pc.cast(
+                    batch.column("o_orderdate").take(idx),
+                    pa.timestamp("us"),
+                ),
+                "side": pa.array(np.ones(n * n_salts, dtype=np.int8)),
+                "event_id": pa.nulls(n * n_salts, pa.int64()),
+                "o_orderkey": batch.column("o_orderkey").take(idx),
             }
         )
 
@@ -601,7 +628,7 @@ def _event_asof_joined(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    return events.union(orders).groupby("k").map_groups(
+    return events.union(orders).groupby(["k", "salt"]).map_groups(
         asof, batch_format="pandas"
     )
 
