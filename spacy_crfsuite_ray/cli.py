@@ -121,8 +121,9 @@ def cmd_kg(args) -> int:
 
 def cmd_scrub(args) -> int:
     """Map-only document scrub (within-doc line dedupe + PII redaction) to
-    partitioned parquet. Zero shuffle — one file per streamed block, so a
-    re-run over the same input is embarrassingly restartable."""
+    shard-partitioned parquet with per-shard lineage manifests — a re-run
+    over the same input skips every manifested shard (the same resume
+    machinery as `cli kg`)."""
     import ray
 
     owned = not ray.is_initialized()
@@ -132,19 +133,11 @@ def cmd_scrub(args) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    from .ops.clean import scrub_documents
+    from .pipelines.scrub import run_scrub_pipeline
 
-    scrub_documents(args.input).write_parquet(args.out_dir)
-
-    import glob as _glob
-
-    import pyarrow.parquet as pq
-
-    files = sorted(_glob.glob(os.path.join(args.out_dir, "*.parquet")))
-    n_rows = sum(pq.read_metadata(f).num_rows for f in files)
-    print(json.dumps(
-        {"rows": n_rows, "files": len(files), "out_dir": args.out_dir}
-    ))
+    res = run_scrub_pipeline(args.input, args.out_dir, shards=args.shards,
+                             files_per_shard=args.files_per_shard)
+    print(json.dumps({k: v for k, v in res.items() if k != "out_dir"}))
     if owned:
         ray.shutdown()
     return 0
@@ -188,6 +181,9 @@ def main(argv=None) -> int:
     s = sub.add_parser("scrub")
     s.add_argument("input", help="documents parquet file or directory")
     s.add_argument("out_dir")
+    s.add_argument("--shards", type=int, default=1)
+    s.add_argument("--files-per-shard", type=int, default=None,
+                   help="incremental-ingest mode (see `kg`)")
     s.set_defaults(fn=cmd_scrub)
 
     args = p.parse_args(argv)

@@ -250,40 +250,44 @@ def dedup_lines_sql() -> str:
     """
 
 
+def scrub_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch scrub kernel: within-doc duplicate-line removal (first
+    wins, order preserved) then PII redaction in the fixed EMAIL -> IPV4 ->
+    PHONE order — cleaned text, per-doc counts, all passthrough columns."""
+    idx_np, cleaned, _, n_removed = _dedup_lines_frame(batch)
+    idx = pa.array(idx_np, pa.int64())
+    text = pa.array(cleaned, pa.string())
+    n_red = np.zeros(len(cleaned), dtype=np.int64)
+    for pattern, token in PII_REDACTIONS:
+        n_red += np.asarray(
+            pc.count_substring_regex(text, pattern), dtype=np.int64
+        )
+        text = pc.replace_substring_regex(text, pattern, token)
+    cols = {}
+    for name in batch.schema.names:
+        if name == "text":
+            cols["text"] = text
+        elif name == "n_chars":
+            cols["n_chars"] = pc.cast(pc.utf8_length(text), pa.int64())
+        else:
+            cols[name] = pc.take(batch.column(name), idx)
+    cols["n_lines_removed"] = pa.array(n_removed, pa.int64())
+    cols["n_pii_redacted"] = pa.array(n_red, pa.int64())
+    return pa.table(cols)
+
+
 def scrub_documents(input_path: str) -> "rd.Dataset":
-    """The map-only scrub pass of a Dolma-style cleaning pipeline: per doc,
-    (1) remove within-doc duplicate lines (first wins, order preserved),
-    (2) redact PII in the fixed EMAIL -> IPV4 -> PHONE order — emitting the
-    CLEANED TEXT plus per-doc removal/redaction counts and all passthrough
-    columns. Embarrassingly parallel: one streaming scan, zero shuffle, so
-    the output writer's per-block files make the pass resumable per input
-    split. Cross-doc dedup deliberately stays a SEPARATE op (norm_dedup /
-    exact_dedup / minhash) — it needs a shuffle this pass avoids."""
-    ds = read_parquet_nometa(input_path)
-
-    def scrub(batch: pa.Table) -> pa.Table:
-        idx_np, cleaned, _, n_removed = _dedup_lines_frame(batch)
-        idx = pa.array(idx_np, pa.int64())
-        text = pa.array(cleaned, pa.string())
-        n_red = np.zeros(len(cleaned), dtype=np.int64)
-        for pattern, token in PII_REDACTIONS:
-            n_red += np.asarray(
-                pc.count_substring_regex(text, pattern), dtype=np.int64
-            )
-            text = pc.replace_substring_regex(text, pattern, token)
-        cols = {}
-        for name in batch.schema.names:
-            if name == "text":
-                cols["text"] = text
-            elif name == "n_chars":
-                cols["n_chars"] = pc.cast(pc.utf8_length(text), pa.int64())
-            else:
-                cols[name] = pc.take(batch.column(name), idx)
-        cols["n_lines_removed"] = pa.array(n_removed, pa.int64())
-        cols["n_pii_redacted"] = pa.array(n_red, pa.int64())
-        return pa.table(cols)
-
-    return ds.map_batches(scrub, batch_format="pyarrow")
+    """The map-only scrub pass of a Dolma-style cleaning pipeline (see
+    ``scrub_batch``). Embarrassingly parallel: one streaming scan, zero
+    shuffle, so the output writer's per-block files make the pass
+    resumable per input split — ``pipelines.scrub.run_scrub_pipeline``
+    wraps this with per-shard lineage manifests so a restarted run skips
+    finished shards entirely. Cross-doc dedup deliberately stays a
+    SEPARATE op (norm_dedup / exact_dedup / minhash) — it needs a shuffle
+    this pass avoids."""
+    return read_parquet_nometa(input_path).map_batches(
+        scrub_batch, batch_format="pyarrow"
+    )
 
 
 # Pile-style domain-mixing weights: named sources are up/down-weighted

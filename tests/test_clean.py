@@ -208,9 +208,11 @@ def test_cli_scrub_writes_parquet(ray_session, fixture_dir, tmp_path):
     ) == 0
     import duckdb
 
+    # round 5: output is shard-partitioned (resume manifests, see
+    # pipelines/scrub.py) — read the hive layout
     got = duckdb.connect().execute(
         f"SELECT count(*) AS n, sum(n_pii_redacted) AS p "
-        f"FROM '{out_dir}/*.parquet'"
+        f"FROM '{out_dir}/shard=*/*.parquet'"
     ).fetchone()
     assert got[0] == 10
     assert got[1] >= 6  # fixture plants >= 6 redactable PII items

@@ -246,3 +246,64 @@ def test_event_asof_joined_salted_skew_equals_broadcast(
     joined = norm(relational._event_asof_joined(str(tmp_path)))
     assert len(broadcast) > 0
     pd.testing.assert_frame_equal(joined, broadcast, check_dtype=False)
+
+def test_scrub_pipeline_manifests_and_resume(ray_session, tmp_path):
+    """VERDICT r04 #7: `cli scrub` gets the KG write's lineage-manifest
+    machinery — a re-run skips manifested shards; a corrupted shard (or an
+    in-place input rewrite) re-runs only itself."""
+    import os
+    import shutil
+
+    from spacy_crfsuite_ray.pipelines.kg import _walk_parquet
+    from spacy_crfsuite_ray.pipelines.scrub import run_scrub_pipeline
+    from spacy_crfsuite_ray.stages.graph import manifest_valid, read_manifests
+
+    # 4 input files with line-dup + PII content -> 2 shards
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    for i in range(4):
+        t = pa.table({
+            "doc_id": pa.array([i * 10 + 1, i * 10 + 2], pa.int64()),
+            "text": pa.array([
+                "keep\nkeep\nmail bob@example.com",
+                f"unique {i}\nip 10.0.0.{i} end",
+            ]),
+        })
+        pq.write_table(t, str(in_dir / f"part{i}.parquet"))
+    out = str(tmp_path / "scrubbed")
+
+    res = run_scrub_pipeline(str(in_dir), out, shards=2)
+    assert res["shards_run"] == 2 and res["shards_skipped"] == 0
+    assert res["rows"] == 8 and res["files"] >= 2
+    manifests = read_manifests(out)
+    assert len(manifests) == 2
+    for m in manifests:
+        assert m["rows_out"] > 0 and m["input_refs"] and m["files"]
+        assert manifest_valid(out, m["partition_id"])
+
+    # the scrub actually scrubbed: dup line gone, PII tokenized
+    got = pq.read_table(_walk_parquet(out)[0])
+    assert "n_lines_removed" in got.schema.names
+
+    # resume: everything skipped, rows unchanged
+    res2 = run_scrub_pipeline(str(in_dir), out, shards=2)
+    assert res2["shards_run"] == 0 and res2["shards_skipped"] == 2
+    assert res2["rows"] == 8
+
+    # corrupt one shard -> only it re-runs
+    shard_dir = os.path.join(out, "shard=00000")
+    os.remove(_walk_parquet(shard_dir)[0])
+    assert not manifest_valid(out, "00000")
+    shutil.rmtree(shard_dir)
+    res3 = run_scrub_pipeline(str(in_dir), out, shards=2)
+    assert res3["shards_run"] == 1 and res3["shards_skipped"] == 1
+    assert res3["rows"] == 8
+
+    # in-place input rewrite (same path, new mtime/size) -> its shard re-runs
+    t = pa.table({
+        "doc_id": pa.array([991, 992], pa.int64()),
+        "text": pa.array(["x\nx", "y"]),
+    })
+    pq.write_table(t, str(in_dir / "part0.parquet"))
+    res4 = run_scrub_pipeline(str(in_dir), out, shards=2)
+    assert res4["shards_run"] == 1 and res4["shards_skipped"] == 1
