@@ -105,11 +105,14 @@ def minhash_bands(sig: np.ndarray, bands: int = 16) -> List[str]:
 
 
 def simhash64(tokens: Iterable[str]) -> int:
-    """64-bit simhash over token hashes (Charikar 2002)."""
+    """64-bit simhash over token hashes (Charikar 2002). Token hash = first
+    8 bytes of md5, little-endian — md5 (NOT sha1) so the DuckDB oracle can
+    re-express the exact bit mixing (DuckDB 1.0 ships md5 but no sha1; see
+    the simhash_docs oracle in __ray_entry__.py)."""
     acc = np.zeros(64, dtype=np.int64)
     n = 0
     for tok in tokens:
-        h = struct.unpack("<Q", hashlib.sha1(tok.encode("utf-8")).digest()[:8])[0]
+        h = struct.unpack("<Q", hashlib.md5(tok.encode("utf-8")).digest()[:8])[0]
         bits = np.unpackbits(
             np.frombuffer(struct.pack("<Q", h), dtype=np.uint8)
         ).astype(np.int64)

@@ -429,7 +429,7 @@ def _simhash_batch(texts) -> np.ndarray:
             h = memo.get(t)
             if h is None:
                 h = struct.unpack(
-                    "<Q", hashlib.sha1(t.encode("utf-8")).digest()[:8]
+                    "<Q", hashlib.md5(t.encode("utf-8")).digest()[:8]
                 )[0]
                 if len(memo) < 2_000_000:  # bounded per-worker cache
                     memo[t] = h
