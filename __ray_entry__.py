@@ -579,8 +579,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ORDERING CONTRACT: the correctness driver records the FIRST 50 entries
     only (observed across r01-r04), so 50 SQL-oracled queries come first
     and the 14 rows-only-by-nature entries come last (simhash_docs and
-    simhash_dedup_pairs gained DuckDB oracles in round 5 — 74 oracled
-    total). ROUND-5 ROTATION
+    simhash_dedup_pairs gained DuckDB oracles in round 5, and session 2
+    added gopher_filter + sequence_pack — 76 oracled of 90 total).
+    ROUND-5 ROTATION
     (VERDICT r04 next-round #1): the 22 oracled entries that sat at
     positions 51-72 in r04 (and therefore have no driver row yet) now
     lead the window; positions 23-50 keep 28 of the r04-green set
@@ -683,6 +684,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pigeonhole + exact hamming verify, so the output EQUALS the
         # quadratic all-pairs filter the oracle computes
         "simhash_dedup_pairs": dedup.simhash_dedup_pairs,
+        # oracled round 5 (session 2): Gopher composite filter — integer-only
+        # rule arithmetic, RE2 counts shared verbatim with the oracle
+        "gopher_filter": text.gopher_filter,
+        # oracled round 5 (session 2): concat-and-chunk training-sequence
+        # packing via a distributed two-pass exclusive prefix scan; the
+        # oracle is the equivalent SQL window prefix sum
+        "sequence_pack": text.sequence_pack,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1048,6 +1056,10 @@ def oracle_sql() -> dict[str, str]:
             FROM shv a JOIN shv b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.u, b.u)) <= 3
         """,
+        # mirrors of ops.text.gopher_filter / sequence_pack (round 5 s2):
+        # integer-only rule arithmetic / window exclusive prefix sum
+        "gopher_filter": _text_ops.gopher_filter_sql(),
+        "sequence_pack": _text_ops.sequence_pack_sql(),
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -1263,3 +1263,296 @@ def dup_line_stats_sql() -> str:
                    AS dup_char_frac_c6
         FROM s
     """
+
+
+# ------------------------------------------------- Gopher composite filter
+# Published Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446,
+# table A1). Every rule is evaluated with INTEGER arithmetic only
+# (cross-multiplied thresholds, e.g. mean-word-length in [3,10] becomes
+# 3*n_words <= word_chars <= 10*n_words) so the DuckDB oracle hashes
+# identically — no float expression tree at all. All counts are RE2 kernels
+# shared verbatim with the oracle; zero shuffle (batch-local map).
+GOPHER_WORD_PATTERN = r"\S+"
+GOPHER_ALPHA_WORD_PATTERN = r"\S*\p{L}\S*"
+GOPHER_BULLET_LINE_PATTERN = r"(?m)^[ \t]*[-*•]"
+GOPHER_ELLIPSIS_LINE_PATTERN = r"(?m)(\.\.\.|…)$"
+GOPHER_SYMBOL_PATTERN = r"#|\.\.\."
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(sf_dir: str, min_words: int = 50,
+                  max_words: int = 100_000) -> "rd.Dataset":
+    """Per-doc Gopher rule flags + keep verdict (1 scan, zero shuffle).
+
+    Rules (keep iff ALL hold):
+      f_words    min_words <= n_words <= max_words
+      f_mean_len 3 <= mean word length <= 10   (3n <= chars <= 10n)
+      f_symbol   symbol-to-word ratio ('#' or '...') < 0.1
+      f_bullet   <= 10% of lines start with a bullet ('-', '*', '•')
+      f_ellipsis <= 30% of lines end with an ellipsis
+      f_alpha    >= 80% of words contain at least one letter
+      f_stop     >= 2 distinct Gopher stopwords present
+    """
+
+    def flags(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+
+        def cnt(pattern) -> np.ndarray:
+            return np.asarray(
+                pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+            )
+
+        n_chars = np.asarray(pc.cast(pc.utf8_length(text), pa.int64()))
+        n_words = cnt(GOPHER_WORD_PATTERN)
+        n_alpha = cnt(GOPHER_ALPHA_WORD_PATTERN)
+        n_bullet = cnt(GOPHER_BULLET_LINE_PATTERN)
+        n_ellipsis = cnt(GOPHER_ELLIPSIS_LINE_PATTERN)
+        n_symbols = cnt(GOPHER_SYMBOL_PATTERN)
+        n_lines = cnt(r"\n") + 1
+        word_chars = n_chars - cnt(WHITESPACE_PATTERN)
+        n_stop = np.zeros(len(n_words), dtype=np.int64)
+        for w in GOPHER_STOPWORDS:
+            n_stop += np.asarray(
+                pc.cast(
+                    pc.match_substring_regex(text, rf"(?i)\b{w}\b"),
+                    pa.int64(),
+                )
+            )
+        f_words = (n_words >= min_words) & (n_words <= max_words)
+        f_mean_len = (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+        f_symbol = 10 * n_symbols < n_words
+        f_bullet = 10 * n_bullet <= n_lines
+        f_ellipsis = 10 * n_ellipsis <= 3 * n_lines
+        f_alpha = 10 * n_alpha >= 8 * n_words
+        f_stop = n_stop >= 2
+        keep = (f_words & f_mean_len & f_symbol & f_bullet & f_ellipsis
+                & f_alpha & f_stop)
+
+        def i64(a) -> pa.Array:
+            return pa.array(a.astype(np.int64), pa.int64())
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": i64(n_words),
+                "n_lines": i64(n_lines),
+                "f_words": i64(f_words),
+                "f_mean_len": i64(f_mean_len),
+                "f_symbol": i64(f_symbol),
+                "f_bullet": i64(f_bullet),
+                "f_ellipsis": i64(f_ellipsis),
+                "f_alpha": i64(f_alpha),
+                "f_stop": i64(f_stop),
+                "keep": i64(keep),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        flags, batch_format="pyarrow"
+    )
+
+
+def gopher_filter_sql(min_words: int = 50, max_words: int = 100_000) -> str:
+    """DuckDB mirror of gopher_filter: identical RE2 patterns, identical
+    integer cross-multiplied thresholds — no float anywhere."""
+    stop_sum = " + ".join(
+        f"(CASE WHEN regexp_matches(text, '(?i)\\b{w}\\b') "
+        "THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '{GOPHER_WORD_PATTERN}'))
+                       AS n_words,
+                   len(regexp_extract_all(text,
+                       '{GOPHER_ALPHA_WORD_PATTERN}')) AS n_alpha,
+                   len(regexp_extract_all(text,
+                       '{GOPHER_BULLET_LINE_PATTERN}')) AS n_bullet,
+                   len(regexp_extract_all(text,
+                       '{GOPHER_ELLIPSIS_LINE_PATTERN}')) AS n_ellipsis,
+                   len(regexp_extract_all(text, '{GOPHER_SYMBOL_PATTERN}'))
+                       AS n_symbols,
+                   len(regexp_extract_all(text, '\\n')) + 1 AS n_lines,
+                   length(text)
+                     - len(regexp_extract_all(text, '{WHITESPACE_PATTERN}'))
+                       AS word_chars,
+                   {stop_sum} AS n_stop
+            FROM documents),
+        f AS (
+            SELECT doc_id, n_words, n_lines,
+                   CASE WHEN n_words >= {min_words}
+                         AND n_words <= {max_words} THEN 1 ELSE 0 END
+                       AS f_words,
+                   CASE WHEN 3 * n_words <= word_chars
+                         AND word_chars <= 10 * n_words THEN 1 ELSE 0 END
+                       AS f_mean_len,
+                   CASE WHEN 10 * n_symbols < n_words THEN 1 ELSE 0 END
+                       AS f_symbol,
+                   CASE WHEN 10 * n_bullet <= n_lines THEN 1 ELSE 0 END
+                       AS f_bullet,
+                   CASE WHEN 10 * n_ellipsis <= 3 * n_lines THEN 1 ELSE 0 END
+                       AS f_ellipsis,
+                   CASE WHEN 10 * n_alpha >= 8 * n_words THEN 1 ELSE 0 END
+                       AS f_alpha,
+                   CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS f_stop
+            FROM s)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(f_words AS BIGINT) AS f_words,
+               CAST(f_mean_len AS BIGINT) AS f_mean_len,
+               CAST(f_symbol AS BIGINT) AS f_symbol,
+               CAST(f_bullet AS BIGINT) AS f_bullet,
+               CAST(f_ellipsis AS BIGINT) AS f_ellipsis,
+               CAST(f_alpha AS BIGINT) AS f_alpha,
+               CAST(f_stop AS BIGINT) AS f_stop,
+               CAST(f_words * f_mean_len * f_symbol * f_bullet
+                    * f_ellipsis * f_alpha * f_stop AS BIGINT) AS keep
+        FROM f
+    """
+
+
+# --------------------------------------------- training-sequence packing
+# Concat-and-chunk sequence assembly (the GPT-3/Chinchilla training-data
+# layout): the corpus token stream in doc_id order is split into fixed
+# seq_len windows; each doc reports its global token offset and the
+# sequence ids it lands in. The global offset is a distributed EXCLUSIVE
+# PREFIX SCAN — the two-pass shape:
+#   pass 1  per-doc token counts → per-bucket sums (combiner groupby over
+#           bucket = doc_id // bucket_size, monotone in doc_id so bucket
+#           order IS doc order) → driver exclusive scan over ≤ 65,536
+#           bucket rows (24 MB of scalars at 1e11 docs — bounded)
+#   pass 2  bucket-keyed map_groups sorts each bucket's (doc_id, n_tokens)
+#           scalar pairs and adds the broadcast bucket base offset.
+# Text never shuffles — only (bucket, doc_id, n_tokens) scalar keys move.
+SEQ_PACK_BUCKET_CAP = 65_536
+
+
+def sequence_pack(sf_dir: str, seq_len: int = 2048,
+                  _bucket_floor: int = 4096) -> "rd.Dataset":
+    """doc_id → (n_tokens, start_tok, seq_first, seq_last, n_seqs) under
+    concat-and-chunk packing at ``seq_len`` tokens per training sequence.
+    Zero-token docs occupy no tokens but are pinned to the sequence at
+    their offset (seq_last = seq_first, n_seqs = 1) via max(n_tokens, 1).
+    ``_bucket_floor`` exists so tests can force a multi-bucket scan on a
+    small corpus; production keeps the 4096-doc floor."""
+    import math
+
+    import ray
+
+    from ..functions.tables import collect_table
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("seq_first", pa.int64()),
+            ("seq_last", pa.int64()),
+            ("n_seqs", pa.int64()),
+        ]
+    )
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    if n_docs == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    bucket_size = max(_bucket_floor, math.ceil(n_docs / SEQ_PACK_BUCKET_CAP))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.divide(ids, bucket_size), pa.int64()),
+                "doc_id": ids,
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        batch.column("text"), TOKEN_PATTERN
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    keyed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "tok": batch.column("n_tokens"),
+            }
+        )
+        return t.group_by("bucket").aggregate([("tok", "sum")]) \
+            .rename_columns(["bucket", "tok"])
+
+    sums = collect_table(
+        coalesce_small(
+            keyed.map_batches(bucket_partial, batch_format="pyarrow")
+        )
+        .groupby("bucket")
+        .sum("tok"),
+        pa.schema([("bucket", pa.int64()), ("sum(tok)", pa.int64())]),
+    )
+    b_ids = np.asarray(sums.column("bucket"), dtype=np.int64)
+    b_sum = np.asarray(sums.column("sum(tok)"), dtype=np.int64)
+    order = np.argsort(b_ids)
+    b_ids, b_sum = b_ids[order], b_sum[order]
+    bases = np.concatenate([[0], np.cumsum(b_sum)[:-1]])
+    base_of = {int(b): int(o) for b, o in zip(b_ids, bases)}
+    ref = ray.put(base_of)
+
+    def pack(group: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        bases = get_broadcast(ref)
+        ids = np.asarray(group.column("doc_id"), dtype=np.int64)
+        ntok = np.asarray(group.column("n_tokens"), dtype=np.int64)
+        o = np.argsort(ids)
+        ids, ntok = ids[o], ntok[o]
+        start = bases[int(group.column("bucket")[0].as_py())] \
+            + np.concatenate([[0], np.cumsum(ntok)[:-1]])
+        last = start + np.maximum(ntok, 1) - 1
+        seq_first = start // seq_len
+        seq_last = last // seq_len
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "start_tok": pa.array(start, pa.int64()),
+                "seq_first": pa.array(seq_first, pa.int64()),
+                "seq_last": pa.array(seq_last, pa.int64()),
+                "n_seqs": pa.array(seq_last - seq_first + 1, pa.int64()),
+            }
+        )
+
+    return keyed.groupby("bucket").map_groups(pack, batch_format="pyarrow")
+
+
+def sequence_pack_sql(seq_len: int = 2048) -> str:
+    """DuckDB mirror of sequence_pack: a window exclusive prefix sum over
+    doc_id order, then the same integer-division sequence arithmetic."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                        AS BIGINT) AS n_tokens
+            FROM documents),
+        s AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS start_tok
+            FROM t)
+        SELECT doc_id, n_tokens, start_tok,
+               start_tok // {seq_len} AS seq_first,
+               (start_tok + greatest(n_tokens, 1) - 1) // {seq_len}
+                   AS seq_last,
+               (start_tok + greatest(n_tokens, 1) - 1) // {seq_len}
+                 - start_tok // {seq_len} + 1 AS n_seqs
+        FROM s
+    """

@@ -307,3 +307,102 @@ def test_scrub_pipeline_manifests_and_resume(ray_session, tmp_path):
     pq.write_table(t, str(in_dir / "part0.parquet"))
     res4 = run_scrub_pipeline(str(in_dir), out, shards=2)
     assert res4["shards_run"] == 1 and res4["shards_skipped"] == 1
+
+
+def _write_docs(tmp_path, texts, doc_ids=None):
+    sch = pq.read_schema(f"{SF}/documents.parquet")
+    n = len(texts)
+    rows = {
+        "doc_id": doc_ids if doc_ids is not None else list(range(1, n + 1)),
+        "lang": ["en"] * n,
+        "source": ["s"] * n,
+        "text": texts,
+        "n_chars": [len(t) for t in texts],
+    }
+    cols = {f.name: rows.get(f.name, [None] * n) for f in sch}
+    t = pa.table({f.name: pa.array(cols[f.name], f.type) for f in sch})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+
+def test_gopher_filter_crafted_rules(ray_session, tmp_path):
+    """Each Gopher rule tripped by exactly one crafted doc (the sf fixture
+    has no newlines/bullets/symbols, so the line- and symbol-based rules
+    are only exercised here), compared against the DuckDB oracle."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from conftest import assert_matches_oracle
+    from spacy_crfsuite_ray.ops.text import gopher_filter
+
+    good = " ".join(
+        ["the cat and dog have fun with that bee to be of joy"] * 5
+    )  # 65 words, mean word length exactly 3.0, 8 stopword hits
+    texts = [
+        good,                                        # 1: keep
+        "the cat sat",                               # 2: f_words
+        "\n".join(["- item one two three"] * 9 + [good]),   # 3: f_bullet
+        "\n".join([good, "trailing off...", "more dots...", "plain"]),
+                                                     # 4: f_ellipsis (2/4)
+        good + " #" * 20,                            # 5: f_symbol
+        " ".join(["111"] * 65),                      # 6: f_alpha (+f_stop)
+        " ".join(["cat dog fox owl bat"] * 13),      # 7: f_stop
+        " ".join(["extraordinarily"] * 65),          # 8: f_mean_len
+        "• point\nthe end is near…\n" + good,        # 9: unicode bullet+…
+    ]
+    _write_docs(tmp_path, texts)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    got = assert_matches_oracle(
+        gopher_filter(str(tmp_path)), E.oracle_sql()["gopher_filter"], con
+    )
+    by_id = {int(r.doc_id): r for r in got.itertuples(index=False)}
+    assert by_id[1].keep == 1
+    assert by_id[2].f_words == 0 and by_id[2].keep == 0
+    assert by_id[3].f_bullet == 0 and by_id[3].keep == 0
+    assert by_id[4].f_ellipsis == 0 and by_id[4].keep == 0
+    assert by_id[5].f_symbol == 0 and by_id[5].keep == 0
+    assert by_id[6].f_alpha == 0 and by_id[6].keep == 0
+    assert by_id[7].f_stop == 0 and by_id[7].keep == 0
+    assert by_id[8].f_mean_len == 0 and by_id[8].keep == 0
+    assert by_id[9].f_bullet == 0  # unicode bullet seen (1 of 3 lines)
+
+
+def test_sequence_pack_multibucket_prefix_scan(ray_session, tmp_path):
+    """sequence_pack's two-pass exclusive prefix scan across MANY buckets
+    (forced small bucket floor), sparse non-contiguous doc_ids, and a
+    zero-token doc — equal to the SQL window prefix sum AND to a driver
+    numpy recompute."""
+    import duckdb
+
+    from conftest import assert_matches_oracle
+    from spacy_crfsuite_ray.ops.text import sequence_pack, sequence_pack_sql
+
+    rng = np.random.RandomState(7)
+    n = 100
+    doc_ids = [7 * i + 3 for i in range(n)]  # gaps: bucket map is monotone
+    texts = [" ".join(["tok"] * int(rng.randint(0, 12))) for _ in range(n)]
+    texts[17] = ""  # zero-token doc
+    _write_docs(tmp_path, texts, doc_ids=doc_ids)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    got = assert_matches_oracle(
+        sequence_pack(str(tmp_path), seq_len=5, _bucket_floor=7),
+        sequence_pack_sql(seq_len=5),
+        con,
+    )
+    # driver recompute: exclusive cumsum over doc_id order
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    ntok = g["n_tokens"].to_numpy()
+    start = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    assert (g["start_tok"].to_numpy() == start).all()
+    last = start + np.maximum(ntok, 1) - 1
+    assert (g["seq_first"].to_numpy() == start // 5).all()
+    assert (g["seq_last"].to_numpy() == last // 5).all()
+    z = g[g["n_tokens"] == 0]
+    assert len(z) >= 1 and (z["n_seqs"] == 1).all()
