@@ -1949,7 +1949,12 @@ def semdedup(
         # multi-probe: each vector lands in its `probe` nearest clusters
         # (the IVF trick) — near-dup pairs straddling one boundary still
         # co-locate somewhere; duplicate discoveries collapse in the final
-        # (a, b) groupby. Cost: x probe rows through the shuffle.
+        # (a, b) groupby. Cost: x probe rows through the shuffle; each
+        # row carries its embedding. If embedding width grows (>>128
+        # floats), switch to shipping vec_id only and co-located fetch of
+        # the vectors inside `within` from a broadcast/partitioned store —
+        # at the current width the xprobe copy is cheaper than the extra
+        # round-trip (VERDICT r04 note).
         c = get_broadcast(ref)
         mat = _normalize(np.asarray(
             batch.column("embedding").to_pylist(), dtype=np.float64
