@@ -580,7 +580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     only (observed across r01-r04), so 50 SQL-oracled queries come first
     and the 14 rows-only-by-nature entries come last (simhash_docs and
     simhash_dedup_pairs gained DuckDB oracles in round 5, and session 2
-    added gopher_filter + sequence_pack — 76 oracled of 90 total).
+    added gopher_filter + sequence_pack + quality_percentile — 77
+    oracled of 91 total).
     ROUND-5 ROTATION
     (VERDICT r04 next-round #1): the 22 oracled entries that sat at
     positions 51-72 in r04 (and therefore have no driver row yet) now
@@ -691,6 +692,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # packing via a distributed two-pass exclusive prefix scan; the
         # oracle is the equivalent SQL window prefix sum
         "sequence_pack": text.sequence_pack,
+        # oracled round 5 (session 2): exact global PERCENT_RANK via the
+        # bounded (score_c6, n) histogram — the c6 domain caps distinct
+        # keys at 1e6+1, so the shuffle is bounded at any corpus size
+        "quality_percentile": text.quality_percentile,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1060,6 +1065,14 @@ def oracle_sql() -> dict[str, str]:
         # integer-only rule arithmetic / window exclusive prefix sum
         "gopher_filter": _text_ops.gopher_filter_sql(),
         "sequence_pack": _text_ops.sequence_pack_sql(),
+        # mirror of ops.text.quality_percentile: SQL PERCENT_RANK over the
+        # same c6-scaled composite score (same int→double division tree)
+        "quality_percentile": f"""
+            SELECT doc_id, quality_c6,
+                   CAST(floor(PERCENT_RANK() OVER (ORDER BY quality_c6)
+                              * 1000000.0 + 0.5) AS BIGINT) AS pctile_c6
+            FROM ({_quality_score_sql()})
+        """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -223,11 +223,10 @@ STOPWORD_PATTERN = (
 WHITESPACE_PATTERN = r"\s"
 
 
-def quality_score(sf_dir: str) -> "rd.Dataset":
-    """Richer quality metrics: alpha-token ratio, stopword ratio, mean token
-    length, composite score. Fully vectorized Arrow kernels; ratios emitted
-    integer-scaled (floor(x*1e6 + 0.5) as int64) so the SQL oracle hashes
-    identically — the float expression trees match the oracle op-for-op."""
+def _quality_score_batch(batch: pa.Table) -> pa.Table:
+    """The quality_score kernel (module-level so quality_percentile can
+    re-run it per scan): alpha/stopword/mean-length ratios + composite,
+    c6 integer-scaled with the exact oracle float expression tree."""
 
     def c6(x):
         return pc.cast(
@@ -269,8 +268,89 @@ def quality_score(sf_dir: str) -> "rd.Dataset":
             }
         )
 
+    return score(batch)
+
+
+def quality_score(sf_dir: str) -> "rd.Dataset":
+    """Richer quality metrics: alpha-token ratio, stopword ratio, mean token
+    length, composite score. Fully vectorized Arrow kernels; ratios emitted
+    integer-scaled (floor(x*1e6 + 0.5) as int64) so the SQL oracle hashes
+    identically — the float expression trees match the oracle op-for-op."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        score, batch_format="pyarrow"
+        _quality_score_batch, batch_format="pyarrow"
+    )
+
+
+def quality_percentile(sf_dir: str) -> "rd.Dataset":
+    """Global PERCENT_RANK() of every doc's composite quality score — an
+    EXACT whole-corpus window function with a BOUNDED shuffle. The c6
+    integer scaling caps the score domain at 1,000,001 distinct values,
+    so the (score_c6, n) histogram is bounded regardless of corpus size:
+
+      scan 1  per-batch histogram combiner → distributed groupby-sum →
+              ≤1e6-row driver table (≈16 MB worst case, independent of
+              row count) → exclusive cumsum = count-strictly-less per
+              score → broadcast dict
+      scan 2  recompute the score per batch (cheaper at scale than
+              materializing per-doc score rows) and map score→percentile.
+
+    percent_rank = cnt_less / (n_total - 1) (0 when n_total == 1),
+    matching SQL PERCENT_RANK() tie semantics exactly — same IEEE
+    int→double division and c6 rounding as the oracle."""
+    import ray
+
+    from ..functions.tables import collect_table
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        s = _quality_score_batch(batch)
+        t = pa.table(
+            {
+                "q": s.column("quality_c6"),
+                "n": pa.array(np.ones(s.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("q").aggregate([("n", "sum")]).rename_columns(
+            ["q", "n"]
+        )
+
+    hist = collect_table(
+        coalesce_small(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                hist_partial, batch_format="pyarrow"
+            )
+        )
+        .groupby("q")
+        .sum("n"),
+        pa.schema([("q", pa.int64()), ("sum(n)", pa.int64())]),
+    )
+    qv = np.asarray(hist.column("q"), dtype=np.int64)
+    cn = np.asarray(hist.column("sum(n)"), dtype=np.int64)
+    o = np.argsort(qv)
+    qv, cn = qv[o], cn[o]
+    less = np.concatenate([[0], np.cumsum(cn)[:-1]]) if len(cn) else cn
+    denom = max(int(cn.sum()) - 1, 1)
+    pr_c6 = np.floor(less / denom * 1_000_000.0 + 0.5).astype(np.int64)
+    pr_of = {int(q): int(p) for q, p in zip(qv, pr_c6)}
+    ref = ray.put(pr_of)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        m = get_broadcast(ref)
+        s = _quality_score_batch(batch)
+        q = np.asarray(s.column("quality_c6"), dtype=np.int64)
+        pr = np.fromiter((m[int(x)] for x in q), dtype=np.int64,
+                         count=len(q))
+        return pa.table(
+            {
+                "doc_id": s.column("doc_id"),
+                "quality_c6": s.column("quality_c6"),
+                "pctile_c6": pa.array(pr, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tag, batch_format="pyarrow"
     )
 
 

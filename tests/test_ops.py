@@ -54,7 +54,7 @@ from conftest import assert_matches_oracle as _assert_matches_oracle  # noqa: E4
     "dedup_lines", "dsir_resample", "event_funnel", "heavy_hitters",
     "user_retention", "chunk_documents", "source_mixture_sample",
     "corpus_report", "simhash_docs", "simhash_dedup_pairs",
-    "gopher_filter", "sequence_pack",
+    "gopher_filter", "sequence_pack", "quality_percentile",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E

@@ -406,3 +406,39 @@ def test_sequence_pack_multibucket_prefix_scan(ray_session, tmp_path):
     assert (g["seq_last"].to_numpy() == last // 5).all()
     z = g[g["n_tokens"] == 0]
     assert len(z) >= 1 and (z["n_seqs"] == 1).all()
+
+
+def test_quality_percentile_ties_and_single_row(ray_session, tmp_path):
+    """PERCENT_RANK tie semantics: every member of a tied score group gets
+    cnt_less/(n-1); a single-row corpus gets 0 (the SQL 0/0 convention)."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from conftest import assert_matches_oracle
+    from spacy_crfsuite_ray.ops.text import quality_percentile
+
+    d1 = tmp_path / "ties"
+    d1.mkdir()
+    texts = (
+        ["the cat and the dog have fun with that"] * 10
+        + ["zq zq zq 111 222"] * 10
+        + ["a b c d e f g h"] * 10
+    )
+    _write_docs(d1, texts)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d1}/documents.parquet'"
+    )
+    got = assert_matches_oracle(
+        quality_percentile(str(d1)), E.oracle_sql()["quality_percentile"],
+        con,
+    )
+    per_score = got.groupby("quality_c6")["pctile_c6"].nunique()
+    assert (per_score == 1).all()  # ties share one percentile
+    assert got["pctile_c6"].min() == 0
+
+    d2 = tmp_path / "single"
+    d2.mkdir()
+    _write_docs(d2, ["only doc"])
+    single = quality_percentile(str(d2)).to_pandas()
+    assert len(single) == 1 and int(single["pctile_c6"].iloc[0]) == 0
