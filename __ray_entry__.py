@@ -580,8 +580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     only (observed across r01-r04), so 50 SQL-oracled queries come first
     and the 14 rows-only-by-nature entries come last (simhash_docs and
     simhash_dedup_pairs gained DuckDB oracles in round 5, and session 2
-    added gopher_filter + sequence_pack + quality_percentile — 77
-    oracled of 91 total).
+    added gopher_filter + sequence_pack + quality_percentile +
+    dedup_paragraphs — 78 oracled of 92 total).
     ROUND-5 ROTATION
     (VERDICT r04 next-round #1): the 22 oracled entries that sat at
     positions 51-72 in r04 (and therefore have no driver row yet) now
@@ -696,6 +696,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded (score_c6, n) histogram — the c6 domain caps distinct
         # keys at 1e6+1, so the shuffle is bounded at any corpus size
         "quality_percentile": text.quality_percentile,
+        # oracled round 5 (session 2): C4/RefinedWeb global paragraph
+        # dedup removal — first occurrence wins corpus-wide; gated
+        # broadcast of the DUPLICATED-paragraph table / joined twin above
+        "dedup_paragraphs": clean.dedup_paragraphs,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1073,6 +1077,9 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000.0 + 0.5) AS BIGINT) AS pctile_c6
             FROM ({_quality_score_sql()})
         """,
+        # mirror of ops.clean.dedup_paragraphs (same md5 keys, packed
+        # first-wins order, '\n' reassembly + md5 fingerprint)
+        "dedup_paragraphs": _clean.dedup_paragraphs_sql(),
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

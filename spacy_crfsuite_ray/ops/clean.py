@@ -547,3 +547,258 @@ def corpus_report_sql() -> str:
                    AS norm_dup_docs
         FROM documents
     """
+
+
+# --------------------------------------- global paragraph dedup (removal)
+# C4/RefinedWeb-shape cross-document repetition removal: a non-empty
+# paragraph that appears anywhere else in the corpus survives ONLY at its
+# globally-first occurrence (order = (doc_id, paragraph_idx)); every doc is
+# reassembled without its removed paragraphs. Scale shape:
+#   pass 1  batch-local paragraph explode → (md5, pk, 1) combiner rows
+#           (pk packs the global order: doc_id * STRIDE + idx; text dies
+#           at the scan) → groupby(md5): min(pk), count → only hashes with
+#           count ≥ 2 survive — the DUPLICATED-paragraph table, typically
+#           ≪ corpus size.
+#   pass 2  if that table fits PARA_DEDUP_BROADCAST_MAX it broadcasts and
+#           the rewrite is a second batch-local scan (zero text shuffle);
+#           above the gate `_dedup_paragraphs_joined` runs: scalar
+#           (doc_id, idx, md5, pk) rows join the dup table, removal
+#           (doc_id, idx) keys aggregate to per-doc lists, and ONE
+#           left-outer join ships each doc's text through the shuffle
+#           exactly once. Paths are equality-tested.
+PARA_DEDUP_BROADCAST_MAX = 2_000_000
+# paragraphs-per-doc bound for the packed first-wins key (documented
+# partitioning assumption: doc_id * STRIDE + idx must fit int64)
+PARA_PK_STRIDE = 1_000_000
+
+
+def _para_key_arrays(batch: pa.Table):
+    """Vectorized paragraph explode with aligned arrays: parent row index,
+    within-doc idx, per-doc paragraph counts, paragraph texts, md5 of each
+    non-empty paragraph ('' sentinel for empties — always kept, never
+    hashed), and the packed global-order key pk."""
+    from ..functions.hashing import text_md5
+
+    paras = pc.split_pattern(batch.column("text"), "\n")
+    parent = pc.list_parent_indices(paras).to_numpy(zero_copy_only=False)
+    counts = pc.list_value_length(paras).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]) \
+        if len(counts) else np.zeros(0, np.int64)
+    total = int(counts.sum())
+    idx = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)[parent]
+    pk = doc_ids * PARA_PK_STRIDE + idx
+    texts = pc.list_flatten(paras).to_pylist()
+    hs = [text_md5(s) if s else "" for s in texts]
+    return parent, idx, counts, texts, hs, pk
+
+
+def _para_fp_rows(batch: pa.Table) -> pa.Table:
+    """(md5, min pk, n) combiner rows for the batch's non-empty paragraphs."""
+    _, _, _, _, hs, pk = _para_key_arrays(batch)
+    mask = np.fromiter((h != "" for h in hs), dtype=bool, count=len(hs))
+    t = pa.table(
+        {
+            "h": pa.array([h for h in hs if h], pa.string()),
+            "pk": pa.array(pk[mask], pa.int64()),
+            "n": pa.array(np.ones(int(mask.sum()), dtype=np.int64)),
+        }
+    )
+    return (
+        t.group_by("h")
+        .aggregate([("pk", "min"), ("n", "sum")])
+        .rename_columns(["h", "pk", "n"])
+    )
+
+
+def _dup_para_table(sf_dir: str) -> "rd.Dataset":
+    """Distributed (md5 → min pk) table of DUPLICATED paragraphs only."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_para_fp_rows, batch_format="pyarrow")
+        .repartition(_small_parts_cap(cap=4))
+        .groupby("h")
+        .aggregate(Min("pk"), Sum("n"))
+        .map_batches(
+            stable_rename(["h", "mpk", "n"],
+                          [pa.string(), pa.int64(), pa.int64()]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("n"), 2)
+        ).select(["h", "mpk"])
+
+    return ds.map_batches(dup_only, batch_format="pyarrow").materialize()
+
+
+def _para_reassemble(batch: pa.Table, keep: np.ndarray, parent, counts,
+                     texts) -> pa.Table:
+    """Rejoin each doc's kept paragraphs ('\\n'-separated, order preserved)
+    and emit (doc_id, n_paras, n_paras_removed, clean_fp)."""
+    import pandas as pd
+
+    from ..functions.hashing import text_md5
+
+    df = pd.DataFrame({"i": parent, "para": texts})
+    kept = df[keep]
+    joined = kept.groupby("i", sort=True)["para"].agg("\n".join) \
+        .reindex(range(batch.num_rows), fill_value="")
+    n_kept = kept.groupby("i", sort=True).size() \
+        .reindex(range(batch.num_rows), fill_value=0).to_numpy(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_paras": pa.array(counts, pa.int64()),
+            "n_paras_removed": pa.array(counts - n_kept, pa.int64()),
+            "clean_fp": pa.array(
+                [text_md5(t) for t in joined.to_numpy()], pa.string()
+            ),
+        }
+    )
+
+
+def dedup_paragraphs(sf_dir: str) -> "rd.Dataset":
+    """Cross-document duplicate-paragraph REMOVAL (global first-wins):
+    see the block comment above for the two-pass scale shape."""
+    import ray
+
+    from ..functions.tables import collect_table
+
+    dup_ds = _dup_para_table(sf_dir)
+    if dup_ds.count() > PARA_DEDUP_BROADCAST_MAX:
+        return _dedup_paragraphs_joined(sf_dir, dup_ds)
+
+    tbl = collect_table(
+        dup_ds, pa.schema([("h", pa.string()), ("mpk", pa.int64())])
+    )
+    mpk_of = dict(
+        zip(tbl.column("h").to_pylist(), tbl.column("mpk").to_pylist())
+    )
+    ref = ray.put(mpk_of)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        m = get_broadcast(ref)
+        parent, _, counts, texts, hs, pk = _para_key_arrays(batch)
+        keep = np.fromiter(
+            (h == "" or m.get(h, p) == p for h, p in zip(hs, pk)),
+            dtype=bool, count=len(hs),
+        )
+        return _para_reassemble(batch, keep, parent, counts, texts)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        transform, batch_format="pyarrow"
+    )
+
+
+def _dedup_paragraphs_joined(sf_dir: str, dup_ds: "rd.Dataset"):
+    """At-scale twin: scalar (doc_id, idx, h, pk) rows ⋈ dup table on the
+    hash → removal keys → per-doc removal lists → ONE left-outer join
+    ships each doc's text through the shuffle exactly once; the rewrite
+    itself stays batch-local. Byte-identical to the broadcast path
+    (equality-tested)."""
+    import pandas as pd
+
+    def scalar_rows(batch: pa.Table) -> pa.Table:
+        parent, idx, _, _, hs, pk = _para_key_arrays(batch)
+        mask = np.fromiter((h != "" for h in hs), dtype=bool, count=len(hs))
+        doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)[parent]
+        return pa.table(
+            {
+                "h": pa.array([h for h in hs if h], pa.string()),
+                "doc_id": pa.array(doc_ids[mask], pa.int64()),
+                "idx": pa.array(idx[mask], pa.int64()),
+                "pk2": pa.array(pk[mask], pa.int64()),
+            }
+        )
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scalar_rows, batch_format="pyarrow"
+    )
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    removals = rows.join(
+        dup_ds, join_type="inner",
+        num_partitions=_small_parts_cap(rows=n_docs),
+        on=("h",),
+    ).filter(expr="pk2 != mpk")
+
+    def rm_list(group: pd.DataFrame) -> pd.DataFrame:
+        # comma-joined scalar string: nested/tensor payloads are not
+        # supported by the hash-join kernel, a string column is
+        idxs = np.sort(group["idx"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "doc_id": [int(group["doc_id"].iloc[0])],
+                "rm": [",".join(map(str, idxs))],
+            }
+        )
+
+    rm = removals.groupby("doc_id").map_groups(rm_list,
+                                               batch_format="pandas")
+    joined = _docs(sf_dir, ["doc_id", "text"]).join(
+        rm, join_type="left_outer",
+        num_partitions=_small_parts_cap(rows=n_docs),
+        on=("doc_id",),
+    )
+
+    def transform(batch: pa.Table) -> pa.Table:
+        parent, idx, counts, texts, _, _ = _para_key_arrays(batch)
+        rm_col = batch.column("rm").to_pylist()
+        keep = np.ones(len(texts), dtype=bool)
+        for row, rm_str in enumerate(rm_col):
+            if not rm_str:
+                continue
+            rm_idx = np.fromiter(
+                (int(x) for x in rm_str.split(",")), dtype=np.int64
+            )
+            sel = parent == row
+            keep[sel] = ~np.isin(idx[sel], rm_idx)
+        return _para_reassemble(batch, keep, parent, counts, texts)
+
+    return joined.map_batches(transform, batch_format="pyarrow")
+
+
+def dedup_paragraphs_sql() -> str:
+    """DuckDB mirror of dedup_paragraphs: same md5 keys, same packed
+    first-wins order, same '\\n' reassembly and md5 fingerprint."""
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS para,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS i
+            FROM documents),
+        k AS (
+            SELECT doc_id, i, para,
+                   doc_id * {PARA_PK_STRIDE} + (i - 1) AS pk
+            FROM p),
+        m AS (
+            SELECT md5(para) AS h, min(pk) AS mpk, count(*) AS c
+            FROM k WHERE para <> '' GROUP BY md5(para)),
+        kept AS (
+            SELECT k.doc_id, k.i, k.para
+            FROM k LEFT JOIN m ON k.para <> '' AND md5(k.para) = m.h
+            WHERE k.para = '' OR m.c = 1 OR k.pk = m.mpk),
+        r AS (
+            SELECT doc_id,
+                   md5(string_agg(para, chr(10) ORDER BY i)) AS clean_fp,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+        tot AS (
+            SELECT doc_id,
+                   len(string_split(text, chr(10))) AS n_paras
+            FROM documents)
+        SELECT t.doc_id,
+               CAST(t.n_paras AS BIGINT) AS n_paras,
+               CAST(t.n_paras - coalesce(r.n_kept, 0) AS BIGINT)
+                   AS n_paras_removed,
+               coalesce(r.clean_fp, md5('')) AS clean_fp
+        FROM tot t LEFT JOIN r USING (doc_id)
+    """

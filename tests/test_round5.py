@@ -442,3 +442,58 @@ def test_quality_percentile_ties_and_single_row(ray_session, tmp_path):
     _write_docs(d2, ["only doc"])
     single = quality_percentile(str(d2)).to_pandas()
     assert len(single) == 1 and int(single["pctile_c6"].iloc[0]) == 0
+
+
+def test_dedup_paragraphs_crafted_and_joined_twin(ray_session, tmp_path,
+                                                  monkeypatch):
+    """Global paragraph dedup: first occurrence wins corpus-wide; empty
+    paragraphs always survive; a doc whose every paragraph loses
+    reassembles to ''. Crafted multi-paragraph docs vs the DuckDB oracle,
+    then the joined at-scale twin (gate forced to 0) must be byte-equal."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from conftest import assert_matches_oracle
+    from spacy_crfsuite_ray.ops import clean
+
+    texts = [
+        "alpha beta\ncommon para\ngamma",       # 1: owns 'common para'
+        "common para\ndelta",                   # 2: loses 'common para'
+        "unique one\n\nunique two",             # 3: empty para kept
+        "common para",                          # 4: loses its ONLY para -> ''
+        "delta",                                # 5: 'delta' first seen in 2
+        "x\nx\nx",                              # 6: within-doc repeats too
+    ]
+    _write_docs(tmp_path, texts)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    got = assert_matches_oracle(
+        clean.dedup_paragraphs(str(tmp_path)),
+        E.oracle_sql()["dedup_paragraphs"], con,
+    )
+    by_id = {int(r.doc_id): r for r in got.itertuples(index=False)}
+    import hashlib
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert by_id[1].n_paras_removed == 0
+    assert by_id[2].n_paras_removed == 1 and by_id[2].clean_fp == fp("delta")
+    assert by_id[3].n_paras_removed == 0
+    assert by_id[4].n_paras_removed == 1 and by_id[4].clean_fp == fp("")
+    assert by_id[5].n_paras_removed == 1 and by_id[5].clean_fp == fp("")
+    assert by_id[6].n_paras == 3 and by_id[6].n_paras_removed == 2
+    assert by_id[6].clean_fp == fp("x")
+
+    # at-scale twin: force the joined path, must be byte-identical
+    monkeypatch.setattr(clean, "PARA_DEDUP_BROADCAST_MAX", 0)
+    twin = clean.dedup_paragraphs(str(tmp_path)).to_pandas()
+    key = ["doc_id", "n_paras", "n_paras_removed", "clean_fp"]
+    a = got[key].sort_values("doc_id").reset_index(drop=True)
+    b = twin[key].sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
