@@ -581,7 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     and the 14 rows-only-by-nature entries come last (simhash_docs and
     simhash_dedup_pairs gained DuckDB oracles in round 5, and session 2
     added gopher_filter + sequence_pack + quality_percentile +
-    dedup_paragraphs — 78 oracled of 92 total).
+    dedup_paragraphs + token_budget_select — 79 oracled of 93 total).
     ROUND-5 ROTATION
     (VERDICT r04 next-round #1): the 22 oracled entries that sat at
     positions 51-72 in r04 (and therefore have no driver row yet) now
@@ -700,6 +700,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup removal — first occurrence wins corpus-wide; gated
         # broadcast of the DUPLICATED-paragraph table / joined twin above
         "dedup_paragraphs": clean.dedup_paragraphs,
+        # oracled round 5 (session 2): DataComp/DsDm-style token-budget
+        # selection — histogram boundary + tie-group prefix scan
+        "token_budget_select": text.token_budget_select,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1080,6 +1083,12 @@ def oracle_sql() -> dict[str, str]:
         # mirror of ops.clean.dedup_paragraphs (same md5 keys, packed
         # first-wins order, '\n' reassembly + md5 fingerprint)
         "dedup_paragraphs": _clean.dedup_paragraphs_sql(),
+        # mirror of ops.text.token_budget_select (running token sum over
+        # (quality DESC, doc_id), kept while <= budget; shares the
+        # quality_score oracle subquery)
+        "token_budget_select": _text_ops.token_budget_select_sql(
+            _quality_score_sql()
+        ),
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

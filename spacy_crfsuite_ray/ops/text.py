@@ -1636,3 +1636,210 @@ def sequence_pack_sql(seq_len: int = 2048) -> str:
                  - start_tok // {seq_len} + 1 AS n_seqs
         FROM s
     """
+
+
+# ------------------------------------------- token-budget data selection
+# "Fill a training-token budget with the best documents" (the DataComp /
+# DsDm-style selection step): rank every doc by composite quality
+# (quality_c6 DESC, doc_id ASC as the deterministic tie-break) and keep
+# the maximal prefix whose cumulative token count fits the budget —
+# exactly SQL `SUM(n_tokens) OVER (ORDER BY quality_c6 DESC, doc_id) <=
+# budget`. Distributed shape (no global sort, no text shuffle):
+#   pass 1  (quality_c6 → Σ tokens) histogram — the c6 domain caps it at
+#           1e6+1 rows — driver cumsum DESC finds the BOUNDARY score s*:
+#           scores above s* are fully kept, scores below fully dropped,
+#           and only s*'s tie group needs doc-level resolution.
+#   pass 2  an exclusive prefix scan over the tie group ONLY (bucketed by
+#           doc_id exactly like sequence_pack) decides which tied docs
+#           still fit the remaining budget.
+#   pass 3  the final scan re-derives (quality, tokens) batch-locally and
+#           keeps q > s*; the tie survivors union in from pass 2.
+TOKEN_BUDGET_DEFAULT = 20_000
+
+
+def token_budget_select(sf_dir: str,
+                        budget_tokens: int = TOKEN_BUDGET_DEFAULT,
+                        _bucket_floor: int = 4096) -> "rd.Dataset":
+    """Docs selected greedily by quality until ``budget_tokens`` is full.
+    Output: (doc_id, quality_c6, n_tokens) of every selected doc."""
+    import math
+
+    import ray
+
+    from ..functions.tables import collect_table
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("quality_c6", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def q_tok(batch: pa.Table) -> pa.Table:
+        s = _quality_score_batch(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "q": s.column("quality_c6"),
+                "tok": pc.cast(
+                    pc.count_substring_regex(
+                        batch.column("text"), TOKEN_PATTERN
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = q_tok(batch).drop_columns(["doc_id"])
+        return t.group_by("q").aggregate([("tok", "sum")]).rename_columns(
+            ["q", "tok"]
+        )
+
+    hist = collect_table(
+        coalesce_small(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                hist_partial, batch_format="pyarrow"
+            )
+        )
+        .groupby("q")
+        .sum("tok"),
+        pa.schema([("q", pa.int64()), ("sum(tok)", pa.int64())]),
+    )
+    qv = np.asarray(hist.column("q"), dtype=np.int64)
+    tv = np.asarray(hist.column("sum(tok)"), dtype=np.int64)
+    o = np.argsort(-qv)  # best quality first
+    qv, tv = qv[o], tv[o]
+    cum = np.cumsum(tv)
+    fits = cum <= budget_tokens
+    if fits.all():
+        full_scores = set(int(x) for x in qv)
+        s_star, budget_left = None, 0
+    else:
+        b = int(np.argmin(fits))  # first score whose whole group overflows
+        full_scores = set(int(x) for x in qv[:b])
+        s_star = int(qv[b])
+        budget_left = budget_tokens - (int(cum[b - 1]) if b else 0)
+    full_ref = ray.put(full_scores)
+
+    def keep_full(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        fs = get_broadcast(full_ref)
+        t = q_tok(batch)
+        mask = np.fromiter(
+            (int(x) in fs for x in np.asarray(t.column("q"))),
+            dtype=bool, count=t.num_rows,
+        )
+        return t.filter(pa.array(mask)).rename_columns(
+            ["doc_id", "quality_c6", "n_tokens"]
+        )
+
+    selected = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keep_full, batch_format="pyarrow"
+    )
+    if s_star is None:
+        return selected
+
+    # ---- tie group: exclusive prefix scan over docs at exactly s* ----
+    def tie_rows(batch: pa.Table) -> pa.Table:
+        t = q_tok(batch)
+        t = t.filter(pc.equal(t.column("q"), s_star))
+        return t.select(["doc_id", "tok"])
+
+    ties = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tie_rows, batch_format="pyarrow"
+    ).materialize()
+    n_ties = ties.count()
+    if n_ties == 0 or budget_left <= 0:
+        return selected
+    bucket_size = max(_bucket_floor, math.ceil(n_ties / SEQ_PACK_BUCKET_CAP))
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pc.cast(pc.divide(batch.column("doc_id"), bucket_size),
+                    pa.int64()),
+        )
+
+    keyed = ties.map_batches(bucketed, batch_format="pyarrow")
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["bucket", "tok"])
+        return t.group_by("bucket").aggregate([("tok", "sum")]) \
+            .rename_columns(["bucket", "tok"])
+
+    sums = collect_table(
+        coalesce_small(
+            keyed.map_batches(bucket_partial, batch_format="pyarrow")
+        )
+        .groupby("bucket")
+        .sum("tok"),
+        pa.schema([("bucket", pa.int64()), ("sum(tok)", pa.int64())]),
+    )
+    b_ids = np.asarray(sums.column("bucket"), dtype=np.int64)
+    b_sum = np.asarray(sums.column("sum(tok)"), dtype=np.int64)
+    ob = np.argsort(b_ids)
+    b_ids, b_sum = b_ids[ob], b_sum[ob]
+    bases = np.concatenate([[0], np.cumsum(b_sum)[:-1]])
+    base_of = {int(x): int(y) for x, y in zip(b_ids, bases)}
+    base_ref = ray.put(base_of)
+
+    def tie_keep(group: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        bases = get_broadcast(base_ref)
+        ids = np.asarray(group.column("doc_id"), dtype=np.int64)
+        tok = np.asarray(group.column("tok"), dtype=np.int64)
+        og = np.argsort(ids)
+        ids, tok = ids[og], tok[og]
+        start = bases[int(group.column("bucket")[0].as_py())] \
+            + np.concatenate([[0], np.cumsum(tok)[:-1]])
+        keep = start + tok <= budget_left
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "quality_c6": pa.array(
+                    np.full(int(keep.sum()), s_star, np.int64)
+                ),
+                "n_tokens": pa.array(tok[keep], pa.int64()),
+            }
+        )
+
+    tie_kept = keyed.groupby("bucket").map_groups(
+        tie_keep, batch_format="pyarrow"
+    )
+    return selected.union(tie_kept).map_batches(
+        lambda b: b.select(["doc_id", "quality_c6", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def token_budget_select_sql(
+    quality_sql: str,
+    budget_tokens: int = TOKEN_BUDGET_DEFAULT,
+) -> str:
+    """DuckDB mirror: inclusive running token sum over (quality DESC,
+    doc_id) kept while <= budget — identical to the engine's
+    start_tok + n_tokens <= budget with an exclusive prefix sum.
+    ``quality_sql`` is the quality_score oracle (it lives beside the
+    other oracles in __ray_entry__) so the score expression tree is
+    shared, not duplicated."""
+    return f"""
+        WITH q AS (
+            SELECT doc_id, quality_c6,
+                   CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+            JOIN ({quality_sql}) USING (doc_id)),
+        s AS (
+            SELECT doc_id, quality_c6, n_tokens,
+                   SUM(n_tokens) OVER (
+                       ORDER BY quality_c6 DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM q)
+        SELECT doc_id, quality_c6, n_tokens
+        FROM s WHERE cum <= {budget_tokens}
+    """

@@ -497,3 +497,37 @@ def test_dedup_paragraphs_crafted_and_joined_twin(ray_session, tmp_path,
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_budget_select_tie_boundary(ray_session, tmp_path):
+    """The budget boundary falls INSIDE a tie group (20 identical-quality
+    docs): only the lowest-doc_id ties that still fit survive, resolved by
+    the bucketed prefix scan (forced multi-bucket) — equal to the SQL
+    running-sum oracle. A huge budget keeps everything (no-boundary path)."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from conftest import assert_matches_oracle
+    from spacy_crfsuite_ray.ops.text import (
+        token_budget_select, token_budget_select_sql,
+    )
+
+    good = "the cat and the dog have fun with that"  # 9 tokens, high quality
+    junk = "111 111 111"                              # low quality
+    _write_docs(tmp_path, [good] * 20 + [junk] * 5)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    got = assert_matches_oracle(
+        token_budget_select(str(tmp_path), budget_tokens=67,
+                            _bucket_floor=3),
+        token_budget_select_sql(E._quality_score_sql(), budget_tokens=67),
+        con,
+    )
+    assert sorted(got["doc_id"]) == list(range(1, 8))  # 7 * 9 = 63 <= 67
+
+    every = token_budget_select(str(tmp_path),
+                                budget_tokens=10**9).to_pandas()
+    assert len(every) == 25
