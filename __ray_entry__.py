@@ -581,7 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     and the 14 rows-only-by-nature entries come last (simhash_docs and
     simhash_dedup_pairs gained DuckDB oracles in round 5, and session 2
     added gopher_filter + sequence_pack + quality_percentile +
-    dedup_paragraphs + token_budget_select — 79 oracled of 93 total).
+    dedup_paragraphs + token_budget_select + ann_topk_filtered — 80
+    oracled of 94 total).
     ROUND-5 ROTATION
     (VERDICT r04 next-round #1): the 22 oracled entries that sat at
     positions 51-72 in r04 (and therefore have no driver row yet) now
@@ -703,6 +704,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracled round 5 (session 2): DataComp/DsDm-style token-budget
         # selection — histogram boundary + tie-group prefix scan
         "token_budget_select": text.token_budget_select,
+        # oracled round 5 (session 2): metadata-filtered exact vector
+        # search — predicate applied inside the scan, zero wasted scoring
+        "ann_topk_filtered": ann.ann_topk_filtered,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1089,6 +1093,26 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_select": _text_ops.token_budget_select_sql(
             _quality_score_sql()
         ),
+        # mirror of ops.ann.ann_topk_filtered: ann_topk restricted to
+        # neighbors sharing the query's label
+        "ann_topk_filtered": """
+            WITH q AS (
+                SELECT vec_id AS qid, label AS ql,
+                       CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 8),
+            s AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe,
+                           CAST(e.embedding AS DOUBLE[])) AS c
+                FROM q JOIN embeddings e
+                  ON e.label = q.ql AND e.vec_id <> q.qid)
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c DESC, neighbor_id) AS rn
+                FROM s)
+            WHERE rn <= 5
+        """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -468,3 +468,86 @@ def ann_ivf_checked(sf_dir: str) -> pa.Table:
     return _with_exact_recall(
         ann_ivf(sf_dir), sf_dir, DEFAULT_K, DEFAULT_N_QUERIES
     )
+
+
+def _query_matrix_labeled(sf_dir: str, n_queries: int):
+    """(ids, normalized matrix, labels) for the filtered search queries."""
+    table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(table.column("embedding").to_pylist(), dtype=np.float64)
+    labels = np.asarray(table.column("label").to_pylist(), dtype=np.int64)
+    return ids, _normalize(mat), labels
+
+
+class _FilteredBruteForceTopK:
+    """Metadata-FILTERED exact search (the pgvector/Qdrant 'filtered ANN'
+    shape): each query only scores corpus vectors sharing its label. Same
+    combiner contract as _BruteForceTopK — k rows per (query, batch) —
+    and the predicate is applied INSIDE the scan, so non-matching vectors
+    never produce candidate rows at all."""
+
+    def __init__(self, query_ref, k: int):
+        import ray
+
+        self.qids, self.qmat, self.qlabels = ray.get(query_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch.column("label").to_pylist(),
+                            dtype=np.int64)
+        vecs = _normalize(
+            np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        )
+        sims = self.qmat @ vecs.T
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            valid = np.nonzero(
+                (labels == self.qlabels[qi]) & (vids != qid)
+            )[0]
+            if len(valid) == 0:
+                continue
+            row = sims[qi][valid]
+            order = valid[np.lexsort((vids[valid], -row))][: self.k]
+            for j in order:
+                out_q.append(int(qid))
+                out_n.append(int(vids[j]))
+                out_c.append(float(sims[qi][j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
+def ann_topk_filtered(
+    sf_dir: str, k: int = DEFAULT_K, n_queries: int = DEFAULT_N_QUERIES
+) -> "rd.Dataset":
+    """Exact top-k cosine neighbors under a metadata predicate: neighbors
+    must share the query's ``label`` (and exclude self). Output:
+    (query_id, neighbor_id)."""
+    import ray
+
+    query_ref = ray.put(_query_matrix_labeled(sf_dir, n_queries))
+    return (
+        read_parquet_nometa(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        .map_batches(
+            _FilteredBruteForceTopK,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+            concurrency=(1, 8),
+        )
+        .repartition(2)
+        .groupby("query_id")
+        .map_groups(_final_topk(k), batch_format="pandas")
+    )

@@ -55,7 +55,7 @@ from conftest import assert_matches_oracle as _assert_matches_oracle  # noqa: E4
     "user_retention", "chunk_documents", "source_mixture_sample",
     "corpus_report", "simhash_docs", "simhash_dedup_pairs",
     "gopher_filter", "sequence_pack", "quality_percentile",
-    "dedup_paragraphs", "token_budget_select",
+    "dedup_paragraphs", "token_budget_select", "ann_topk_filtered",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E

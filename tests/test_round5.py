@@ -531,3 +531,21 @@ def test_token_budget_select_tie_boundary(ray_session, tmp_path):
     every = token_budget_select(str(tmp_path),
                                 budget_tokens=10**9).to_pandas()
     assert len(every) == 25
+
+
+def test_ann_topk_filtered_respects_predicate(ray_session):
+    """Every returned neighbor shares its query's label and is never the
+    query itself; per-query result count is <= k."""
+    import pyarrow.parquet as pq_
+
+    from spacy_crfsuite_ray.ops.ann import ann_topk_filtered
+
+    got = ann_topk_filtered(SF).to_pandas()
+    t = pq_.read_table(f"{SF}/embeddings.parquet",
+                       columns=["vec_id", "label"])
+    label = dict(zip(t.column("vec_id").to_pylist(),
+                     t.column("label").to_pylist()))
+    assert len(got) > 0
+    for q, n in zip(got["query_id"], got["neighbor_id"]):
+        assert n != q and label[int(n)] == label[int(q)]
+    assert got.groupby("query_id").size().max() <= 5
