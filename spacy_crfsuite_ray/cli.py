@@ -143,6 +143,33 @@ def cmd_scrub(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Composed training-data export: token-budget quality selection →
+    scrub → fixed k-word chunk explode → shard-partitioned parquet with
+    per-shard lineage manifests. The global selection digest is folded
+    into the manifest layout key, so changing ANY input file or knob
+    re-runs every shard; a plain restart skips finished shards."""
+    import ray
+
+    owned = not ray.is_initialized()
+    if owned:
+        ray.init(include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .pipelines.export import run_export_pipeline
+
+    res = run_export_pipeline(
+        args.input, args.out_dir, budget_tokens=args.budget,
+        chunk_words=args.chunk_words, shards=args.shards,
+        files_per_shard=args.files_per_shard,
+    )
+    print(json.dumps({k: v for k, v in res.items() if k != "out_dir"}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spacy_crfsuite_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -185,6 +212,17 @@ def main(argv=None) -> int:
     s.add_argument("--files-per-shard", type=int, default=None,
                    help="incremental-ingest mode (see `kg`)")
     s.set_defaults(fn=cmd_scrub)
+
+    x = sub.add_parser("export")
+    x.add_argument("input", help="documents parquet file or directory")
+    x.add_argument("out_dir")
+    x.add_argument("--budget", type=int, default=20_000,
+                   help="token budget for the quality selection")
+    x.add_argument("--chunk-words", type=int, default=64)
+    x.add_argument("--shards", type=int, default=1)
+    x.add_argument("--files-per-shard", type=int, default=None,
+                   help="incremental-ingest mode (see `kg`)")
+    x.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     try:

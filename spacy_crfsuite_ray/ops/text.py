@@ -1659,14 +1659,20 @@ TOKEN_BUDGET_DEFAULT = 20_000
 
 def token_budget_select(sf_dir: str,
                         budget_tokens: int = TOKEN_BUDGET_DEFAULT,
-                        _bucket_floor: int = 4096) -> "rd.Dataset":
+                        _bucket_floor: int = 4096,
+                        _reader=None) -> "rd.Dataset":
     """Docs selected greedily by quality until ``budget_tokens`` is full.
-    Output: (doc_id, quality_c6, n_tokens) of every selected doc."""
+    Output: (doc_id, quality_c6, n_tokens) of every selected doc.
+    ``_reader(columns) -> Dataset`` overrides the documents read so the
+    export pipeline can run the same selection over arbitrary
+    documents-shaped parquet."""
     import math
 
     import ray
 
     from ..functions.tables import collect_table
+
+    read = _reader or (lambda cols: _docs(sf_dir, cols))
 
     out_schema = pa.schema(
         [
@@ -1699,7 +1705,7 @@ def token_budget_select(sf_dir: str,
 
     hist = collect_table(
         coalesce_small(
-            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            read(["doc_id", "text"]).map_batches(
                 hist_partial, batch_format="pyarrow"
             )
         )
@@ -1736,7 +1742,7 @@ def token_budget_select(sf_dir: str,
             ["doc_id", "quality_c6", "n_tokens"]
         )
 
-    selected = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    selected = read(["doc_id", "text"]).map_batches(
         keep_full, batch_format="pyarrow"
     )
     if s_star is None:
@@ -1748,7 +1754,7 @@ def token_budget_select(sf_dir: str,
         t = t.filter(pc.equal(t.column("q"), s_star))
         return t.select(["doc_id", "tok"])
 
-    ties = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    ties = read(["doc_id", "text"]).map_batches(
         tie_rows, batch_format="pyarrow"
     ).materialize()
     n_ties = ties.count()

@@ -549,3 +549,49 @@ def test_ann_topk_filtered_respects_predicate(ray_session):
     for q, n in zip(got["query_id"], got["neighbor_id"]):
         assert n != q and label[int(n)] == label[int(q)]
     assert got.groupby("query_id").size().max() <= 5
+
+
+def test_export_pipeline_select_scrub_chunk_resume(ray_session, tmp_path):
+    """Composed training-data export: the budget selects only the
+    high-quality docs, the scrub dedupes lines, the chunk explode emits
+    full k-word units, resume skips manifested shards, and changing the
+    budget (a GLOBAL rule change) invalidates every shard via the layout
+    digest."""
+    from spacy_crfsuite_ray.pipelines.export import run_export_pipeline
+    from spacy_crfsuite_ray.pipelines.kg import _walk_parquet
+
+    good = " ".join(
+        ["the cat and the dog have fun with that bee to be of"] * 4
+    )  # 52 tokens of high-quality text
+    junk = " ".join(["111"] * 48)  # 48 tokens, low quality
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    for i in range(2):
+        t = pa.table({
+            "doc_id": pa.array([i * 10 + 1, i * 10 + 2], pa.int64()),
+            "text": pa.array([good, junk]),
+        })
+        pq.write_table(t, str(in_dir / f"part{i}.parquet"))
+    out = str(tmp_path / "exported")
+
+    # budget 110: the two good docs (2 * 52 = 104) fit, junk does not
+    res = run_export_pipeline(str(in_dir), out, budget_tokens=110,
+                              chunk_words=8, shards=2)
+    assert res["shards_run"] == 2 and res["selected_docs"] == 2
+    # each good doc has 52 words -> 6 full 8-word chunks
+    assert res["rows"] == 12
+    tbl = pa.concat_tables([pq.read_table(f) for f in _walk_parquet(out)])
+    assert sorted(set(tbl.column("doc_id").to_pylist())) == [1, 11]
+    assert all(len(t.split(" ")) == 8 for t in tbl.column("text").to_pylist())
+
+    # resume: all shards skipped
+    res2 = run_export_pipeline(str(in_dir), out, budget_tokens=110,
+                               chunk_words=8, shards=2)
+    assert res2["shards_run"] == 0 and res2["shards_skipped"] == 2
+
+    # global rule change (bigger budget admits the junk docs) -> every
+    # shard re-runs even though per-shard inputs are unchanged
+    res3 = run_export_pipeline(str(in_dir), out, budget_tokens=10_000,
+                               chunk_words=8, shards=2)
+    assert res3["shards_run"] == 2 and res3["selected_docs"] == 4
+    assert res3["rows"] == 24
