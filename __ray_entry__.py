@@ -581,8 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     and the 14 rows-only-by-nature entries come last (simhash_docs and
     simhash_dedup_pairs gained DuckDB oracles in round 5, and session 2
     added gopher_filter + sequence_pack + quality_percentile +
-    dedup_paragraphs + token_budget_select + ann_topk_filtered — 80
-    oracled of 94 total).
+    dedup_paragraphs + token_budget_select + ann_topk_filtered +
+    keyword_search — 81 oracled of 95 total).
     ROUND-5 ROTATION
     (VERDICT r04 next-round #1): the 22 oracled entries that sat at
     positions 51-72 in r04 (and therefore have no driver row yet) now
@@ -707,6 +707,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracled round 5 (session 2): metadata-filtered exact vector
         # search — predicate applied inside the scan, zero wasted scoring
         "ann_topk_filtered": ann.ann_topk_filtered,
+        # oracled round 5 (session 2): ranked keyword retrieval — log-free
+        # idf (exact IEEE tree), local top-k combiner, c6-integer ranking
+        "keyword_search": text.keyword_search,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
@@ -1238,6 +1241,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             WHERE rn <= 5
         """,
+        # mirror of ops.text.keyword_search (same RE2 tf counts, same
+        # (N+1)/(df+1) ratios in term order, same c6 ranking)
+        "keyword_search": _text_ops.keyword_search_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))

@@ -1849,3 +1849,114 @@ def token_budget_select_sql(
         SELECT doc_id, quality_c6, n_tokens
         FROM s WHERE cum <= {budget_tokens}
     """
+
+
+# ----------------------------------------------- ranked keyword retrieval
+# Search-engine-shaped ranked retrieval over the corpus: for a fixed term
+# query, score = Σ_t tf_t · (N+1)/(df_t+1) — the log-free idf variant the
+# repo's tfidf already proved hashes bit-identically across engines
+# (cast / divide / multiply / add are exact IEEE ops applied in a fixed
+# term order; no transcendental functions). Two passes, zero shuffle:
+#   pass 1  per-batch partial df counts (|terms| ints per batch) → driver
+#           sum — a |terms|-column reduce, nothing keyed
+#   pass 2  per-batch tf counts + scores + LOCAL top-k combiner, then a
+#           global sort+limit over ≤ k·blocks candidate rows.
+# Both the engine and the oracle rank on the c6-scaled integer score
+# (desc, doc_id asc), so float ties cannot reorder across engines.
+KEYWORD_QUERY = ("vector", "merge", "slow")
+KEYWORD_TOPK = 20
+
+
+def keyword_search(sf_dir: str, terms=KEYWORD_QUERY,
+                   k: int = KEYWORD_TOPK) -> "rd.Dataset":
+    """Top-k docs for a boundary-delimited case-insensitive term query.
+    Output: (doc_id, tf_<term>..., score_c6), best first."""
+    from ..functions.tables import collect_table
+
+    patterns = [rf"(?i)\b{t}\b" for t in terms]
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        cols = {}
+        for i, p in enumerate(patterns):
+            hit = pc.greater(pc.count_substring_regex(text, p), 0)
+            cols[f"df{i}"] = pa.array(
+                [int(pc.sum(pc.cast(hit, pa.int64())).as_py() or 0)],
+                pa.int64(),
+            )
+        return pa.table(cols)
+
+    df_schema = pa.schema([(f"df{i}", pa.int64())
+                           for i in range(len(patterns))])
+    parts = collect_table(
+        _docs(sf_dir, ["text"]).map_batches(df_partial,
+                                            batch_format="pyarrow"),
+        df_schema,
+    )
+    ratios = [
+        float(n_docs + 1)
+        / float(int(pc.sum(parts.column(f"df{i}")).as_py() or 0) + 1)
+        for i in range(len(patterns))
+    ]
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        tfs = [
+            np.asarray(
+                pc.cast(pc.count_substring_regex(text, p), pa.int64())
+            )
+            for p in patterns
+        ]
+        score = tfs[0].astype(np.float64) * ratios[0]
+        for tf, r in zip(tfs[1:], ratios[1:]):
+            score = score + tf.astype(np.float64) * r
+        c6 = np.floor(score * 1_000_000.0 + 0.5).astype(np.int64)
+        hit = np.nonzero(c6 > 0)[0]
+        top = hit[np.lexsort((ids[hit], -c6[hit]))][:k]  # local combiner
+        out = {"doc_id": pa.array(ids[top], pa.int64())}
+        for t, tf in zip(terms, tfs):
+            out[f"tf_{t}"] = pa.array(tf[top], pa.int64())
+        out["score_c6"] = pa.array(c6[top], pa.int64())
+        return pa.table(out)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score_topk, batch_format="pyarrow")
+        .sort(["score_c6", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def keyword_search_sql(terms=KEYWORD_QUERY, k: int = KEYWORD_TOPK) -> str:
+    """DuckDB mirror of keyword_search: identical RE2 tf counts, the same
+    (N+1)/(df+1) double ratios applied in the same term order, ranked on
+    the identical c6 integer."""
+    tf_cols = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '(?i)\\b{t}\\b')) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE tf_{t} > 0) AS df_{t}" for t in terms
+    )
+    score = " + ".join(
+        f"CAST(tf_{t} AS DOUBLE) * (CAST(d.n + 1 AS DOUBLE) / (d.df_{t} + 1))"
+        for t in terms
+    )
+    tf_out = ", ".join(f"tf_{t}" for t in terms)
+    return f"""
+        WITH tf AS (
+            SELECT doc_id,
+                   {tf_cols}
+            FROM documents),
+        d AS (
+            SELECT {df_cols}, count(*) AS n FROM tf)
+        SELECT doc_id, {tf_out},
+               CAST(floor(({score}) * 1000000.0 + 0.5) AS BIGINT)
+                   AS score_c6
+        FROM tf, d
+        WHERE CAST(floor(({score}) * 1000000.0 + 0.5) AS BIGINT) > 0
+        ORDER BY score_c6 DESC, doc_id
+        LIMIT {k}
+    """

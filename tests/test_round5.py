@@ -595,3 +595,33 @@ def test_export_pipeline_select_scrub_chunk_resume(ray_session, tmp_path):
                                chunk_words=8, shards=2)
     assert res3["shards_run"] == 2 and res3["selected_docs"] == 4
     assert res3["rows"] == 24
+
+
+def test_keyword_search_tie_at_limit(ray_session, tmp_path):
+    """Many docs share the exact top score (ties cross the LIMIT
+    boundary): both engines must rank on the identical c6 integer with
+    doc_id tie-break, so the top-k SET matches exactly."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from conftest import assert_matches_oracle
+    from spacy_crfsuite_ray.ops.text import keyword_search
+
+    texts = (["the vector got a merge"] * 30       # identical score
+             + ["slow slow slow vector merge"] * 3  # higher score
+             + ["nothing relevant here"] * 10)      # score 0, excluded
+    _write_docs(tmp_path, texts)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    got = assert_matches_oracle(
+        keyword_search(str(tmp_path)), E.oracle_sql()["keyword_search"],
+        con,
+    )
+    assert len(got) == 20
+    # the 3 high scorers first, then the 17 lowest-doc_id tied docs
+    ids = set(got["doc_id"])
+    assert {31, 32, 33} <= ids
+    assert ids - {31, 32, 33} == set(range(1, 18))
