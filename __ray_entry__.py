@@ -585,14 +585,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     keyword_search — 81 oracled of 95 total).
     ROUND-5 ROTATION
     (VERDICT r04 next-round #1): the 22 oracled entries that sat at
-    positions 51-72 in r04 (and therefore have no driver row yet) now
-    lead the window; positions 23-50 keep 28 of the r04-green set
-    including the four KG flagship outputs; the 22 displaced r04-green
-    entries (doc_sample ... order_priority_rank) move to positions 51-72
-    — their driver evidence stays on file in CORRECTNESS_r04, so r04∪r05
-    covers all 72 oracled queries with driver-green rows. All 72 are
-    additionally oracle-checked in-repo by tests/test_ops.py /
-    test_graph.py / test_kg_oracles.py with the same DuckDB comparison."""
+    positions 51-72 in r04 (and therefore have no driver row yet) lead
+    the window; positions 23-50 keep 21 of the r04-green set — including
+    the four KG flagship outputs — PLUS the seven session-2 additions
+    (gopher_filter, sequence_pack, quality_percentile, dedup_paragraphs,
+    token_budget_select, ann_topk_filtered, keyword_search), which took
+    slots from seven r04-driver-green entries (lang_count, quality_filter,
+    doc_fingerprint, lang_id, ngram_top, top_bigram_fraction,
+    lineitem_agg — now at 51+). Every displaced entry keeps its r04 row,
+    so CORRECTNESS r04∪r05 covers ALL 81 oracled queries with
+    driver-green rows. All 81 are additionally oracle-checked in-repo by
+    tests/test_ops.py / test_graph.py / test_kg_oracles.py with the same
+    DuckDB comparison."""
     from spacy_crfsuite_ray.ops import (
         ann, clean, dedup, multimodal, relational, sketch, text,
     )
@@ -631,15 +635,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_domain_stats_sql": _domain_stats_sql,
         # text analysis over documents
         "doc_stats": text.doc_stats,
-        "lang_count": text.lang_count,
         "token_count_by_source": text.token_count_by_source,
-        "quality_filter": text.quality_filter,
-        "doc_fingerprint": text.doc_fingerprint,
-        "lang_id": text.lang_id,
         "quality_score": text.quality_score,
-        "ngram_top": text.ngram_top,
         "tfidf_top_terms": text.tfidf_top_terms,
-        "top_bigram_fraction": text.top_bigram_fraction,
+        # the seven session-2 additions take window slots from seven
+        # r04-driver-green entries (displaced below — their r04 rows stay
+        # on file), so the NEW operators get hard driver evidence in r05
+        "gopher_filter": text.gopher_filter,
+        "sequence_pack": text.sequence_pack,
+        "quality_percentile": text.quality_percentile,
+        "dedup_paragraphs": clean.dedup_paragraphs,
+        "token_budget_select": text.token_budget_select,
+        "ann_topk_filtered": ann.ann_topk_filtered,
+        "keyword_search": text.keyword_search,
         # dedup family (exact / clustering / composed end-to-end)
         "exact_dedup": dedup.exact_dedup,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
@@ -652,13 +660,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,
         "embedding_centroids": ann.embedding_centroids,
         # relational primitives showcase
-        "lineitem_agg": relational.lineitem_agg,
         "segment_revenue": relational.segment_revenue,
         "shipping_priority": relational.shipping_priority,
         "event_asof_order": relational.event_asof_order,
-        # ---- SQL-ORACLED, outside the window: all 22 below are
+        # ---- SQL-ORACLED, outside the window: all 29 below are
         #      driver-green in CORRECTNESS_r04 (rotation keeps r04∪r05
         #      coverage complete); also oracle-verified in-repo ----
+        "lang_count": text.lang_count,
+        "quality_filter": text.quality_filter,
+        "doc_fingerprint": text.doc_fingerprint,
+        "lang_id": text.lang_id,
+        "ngram_top": text.ngram_top,
+        "top_bigram_fraction": text.top_bigram_fraction,
+        "lineitem_agg": relational.lineitem_agg,
         "doc_sample": text.doc_sample,
         "lang_source_rollup": text.lang_source_rollup,
         "stratified_sample": text.stratified_sample,
@@ -686,30 +700,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pigeonhole + exact hamming verify, so the output EQUALS the
         # quadratic all-pairs filter the oracle computes
         "simhash_dedup_pairs": dedup.simhash_dedup_pairs,
-        # oracled round 5 (session 2): Gopher composite filter — integer-only
-        # rule arithmetic, RE2 counts shared verbatim with the oracle
-        "gopher_filter": text.gopher_filter,
-        # oracled round 5 (session 2): concat-and-chunk training-sequence
-        # packing via a distributed two-pass exclusive prefix scan; the
-        # oracle is the equivalent SQL window prefix sum
-        "sequence_pack": text.sequence_pack,
-        # oracled round 5 (session 2): exact global PERCENT_RANK via the
-        # bounded (score_c6, n) histogram — the c6 domain caps distinct
-        # keys at 1e6+1, so the shuffle is bounded at any corpus size
-        "quality_percentile": text.quality_percentile,
-        # oracled round 5 (session 2): C4/RefinedWeb global paragraph
-        # dedup removal — first occurrence wins corpus-wide; gated
-        # broadcast of the DUPLICATED-paragraph table / joined twin above
-        "dedup_paragraphs": clean.dedup_paragraphs,
-        # oracled round 5 (session 2): DataComp/DsDm-style token-budget
-        # selection — histogram boundary + tie-group prefix scan
-        "token_budget_select": text.token_budget_select,
-        # oracled round 5 (session 2): metadata-filtered exact vector
-        # search — predicate applied inside the scan, zero wasted scoring
-        "ann_topk_filtered": ann.ann_topk_filtered,
-        # oracled round 5 (session 2): ranked keyword retrieval — log-free
-        # idf (exact IEEE tree), local top-k combiner, c6-integer ranking
-        "keyword_search": text.keyword_search,
         # ---- ROWS-ONLY BY NATURE (iterative / approximate / model eval;
         #      self-reporting in-band exact-twin columns where possible) ----
         "kg_domain_stats": _domain_stats,
