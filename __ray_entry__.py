@@ -582,21 +582,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     simhash_dedup_pairs gained DuckDB oracles in round 5, and session 2
     added gopher_filter + sequence_pack + quality_percentile +
     dedup_paragraphs + token_budget_select + ann_topk_filtered +
-    keyword_search — 81 oracled of 95 total).
+    keyword_search + hybrid_search — 82 oracled of 96 total).
     ROUND-5 ROTATION
     (VERDICT r04 next-round #1): the 22 oracled entries that sat at
     positions 51-72 in r04 (and therefore have no driver row yet) lead
-    the window; positions 23-50 keep 21 of the r04-green set — including
-    the four KG flagship outputs — PLUS the seven session-2 additions
+    the window; positions 23-50 keep 20 of the r04-green set — including
+    the four KG flagship outputs — PLUS the eight session-2 additions
     (gopher_filter, sequence_pack, quality_percentile, dedup_paragraphs,
-    token_budget_select, ann_topk_filtered, keyword_search), which took
-    slots from seven r04-driver-green entries (lang_count, quality_filter,
-    doc_fingerprint, lang_id, ngram_top, top_bigram_fraction,
-    lineitem_agg — now at 51+). Every displaced entry keeps its r04 row,
-    so CORRECTNESS r04∪r05 covers ALL 81 oracled queries with
-    driver-green rows. All 81 are additionally oracle-checked in-repo by
-    tests/test_ops.py / test_graph.py / test_kg_oracles.py with the same
-    DuckDB comparison."""
+    token_budget_select, ann_topk_filtered, keyword_search,
+    hybrid_search), which took slots from eight r04-driver-green entries
+    (lang_count, token_count_by_source, quality_filter, doc_fingerprint,
+    lang_id, ngram_top, top_bigram_fraction, lineitem_agg — now at 51+).
+    Every displaced entry keeps its r04 row, so CORRECTNESS r04∪r05
+    covers ALL 82 oracled queries with driver-green rows. All 82 are
+    additionally oracle-checked in-repo by tests/test_ops.py /
+    test_graph.py / test_kg_oracles.py with the same DuckDB
+    comparison."""
     from spacy_crfsuite_ray.ops import (
         ann, clean, dedup, multimodal, relational, sketch, text,
     )
@@ -635,7 +636,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_domain_stats_sql": _domain_stats_sql,
         # text analysis over documents
         "doc_stats": text.doc_stats,
-        "token_count_by_source": text.token_count_by_source,
         "quality_score": text.quality_score,
         "tfidf_top_terms": text.tfidf_top_terms,
         # the seven session-2 additions take window slots from seven
@@ -648,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_select": text.token_budget_select,
         "ann_topk_filtered": ann.ann_topk_filtered,
         "keyword_search": text.keyword_search,
+        "hybrid_search": ann.hybrid_search,
         # dedup family (exact / clustering / composed end-to-end)
         "exact_dedup": dedup.exact_dedup,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
@@ -667,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      driver-green in CORRECTNESS_r04 (rotation keeps r04∪r05
         #      coverage complete); also oracle-verified in-repo ----
         "lang_count": text.lang_count,
+        "token_count_by_source": text.token_count_by_source,
         "quality_filter": text.quality_filter,
         "doc_fingerprint": text.doc_fingerprint,
         "lang_id": text.lang_id,
@@ -1234,6 +1236,46 @@ def oracle_sql() -> dict[str, str]:
         # mirror of ops.text.keyword_search (same RE2 tf counts, same
         # (N+1)/(df+1) ratios in term order, same c6 ranking)
         "keyword_search": _text_ops.keyword_search_sql(),
+        # mirror of ops.ann.hybrid_search: RRF over the keyword leg
+        # (keyword_search_sql top-50, ranked on score_c6) and the vector
+        # leg (c6-rounded cosine to vec_id 0's embedding, top-50); fixed
+        # kw-then-vec addition order, c9 integer ranking
+        "hybrid_search": f"""
+            WITH kwq AS ({_text_ops.keyword_search_sql(k=50)}),
+            kw AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score_c6 DESC, doc_id)
+                           AS rk
+                FROM kwq),
+            vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id = 0),
+            vs AS (
+                SELECT e.vec_id AS doc_id,
+                       CAST(floor(list_cosine_similarity(
+                                CAST(e.embedding AS DOUBLE[]), vq.qe)
+                            * 1000000.0 + 0.5) AS BIGINT) AS cos_c6
+                FROM embeddings e, vq WHERE e.vec_id <> 0),
+            vr AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY cos_c6 DESC, doc_id)
+                           AS rv
+                FROM vs ORDER BY cos_c6 DESC, doc_id LIMIT 50),
+            f AS (
+                SELECT COALESCE(kw.doc_id, vr.doc_id) AS doc_id,
+                       COALESCE(kw.rk, 0) AS rank_kw,
+                       COALESCE(vr.rv, 0) AS rank_vec,
+                       (CASE WHEN kw.rk IS NULL THEN 0.0
+                             ELSE 1.0 / (60 + kw.rk) END
+                        + CASE WHEN vr.rv IS NULL THEN 0.0
+                               ELSE 1.0 / (60 + vr.rv) END) AS rrf
+                FROM kw FULL OUTER JOIN vr ON kw.doc_id = vr.doc_id)
+            SELECT doc_id,
+                   CAST(rank_kw AS BIGINT) AS rank_kw,
+                   CAST(rank_vec AS BIGINT) AS rank_vec,
+                   CAST(floor(rrf * 1000000000.0 + 0.5) AS BIGINT)
+                       AS rrf_c9
+            FROM f ORDER BY rrf_c9 DESC, doc_id LIMIT 20
+        """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))

@@ -551,3 +551,106 @@ def ann_topk_filtered(
         .groupby("query_id")
         .map_groups(_final_topk(k), batch_format="pandas")
     )
+
+
+# ------------------------------------------------------- hybrid retrieval
+# Reciprocal-rank fusion (RRF, Cormack et al.) of the two retrieval legs
+# this repo already serves: the keyword leg (ops.text.keyword_search,
+# log-free idf over RE2 tf counts) and a vector leg (cosine to a fixed
+# query vector — the embedding of vec_id 0). Each leg is a distributed
+# top-K_LEG combiner scan; the FUSION is driver-side over two ≤ K_LEG-row
+# lists — bounded by construction, which is the honest shape (at 100 TB
+# the legs still emit k rows each; fusing them is never the scale
+# problem). rrf = 1/(60+rank_kw) + 1/(60+rank_vec) in that fixed order
+# (exact IEEE divisions), absent legs contribute 0 and report rank 0,
+# ranked on the c9-scaled integer so float ties cannot reorder engines.
+HYBRID_LEG_K = 50
+HYBRID_TOPK = 20
+RRF_K = 60
+
+
+def hybrid_search(sf_dir: str, k: int = HYBRID_TOPK,
+                  leg_k: int = HYBRID_LEG_K) -> "rd.Dataset":
+    """Hybrid keyword+vector retrieval via reciprocal-rank fusion.
+    Output: (doc_id, rank_kw, rank_vec, rrf_c9), best first; rank 0 means
+    the doc is absent from that leg's top-``leg_k``."""
+    import ray
+
+    from ..functions.tables import collect_table
+    from ..ops.text import keyword_search
+
+    # --- keyword leg: distributed top-k scan, ≤ leg_k rows collected
+    kw = collect_table(
+        keyword_search(sf_dir, k=leg_k).map_batches(
+            lambda b: b.select(["doc_id", "score_c6"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("doc_id", pa.int64()), ("score_c6", pa.int64())]),
+    )
+    kw_ids = np.asarray(kw.column("doc_id"), dtype=np.int64)
+    kw_sc = np.asarray(kw.column("score_c6"), dtype=np.int64)
+    o = np.lexsort((kw_ids, -kw_sc))
+    rank_kw = {int(kw_ids[i]): r + 1 for r, i in enumerate(o)}
+
+    # --- vector leg: cosine to the query vector, per-batch top-k combiner
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    qvec = _normalize(np.asarray(qt.column("embedding").to_pylist(),
+                                 dtype=np.float64))[0]
+    qref = ray.put(qvec)
+
+    def vec_partial(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        qv = get_broadcast(qref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(),
+                          dtype=np.int64)
+        vecs = _normalize(np.asarray(
+            batch.column("embedding").to_pylist(), dtype=np.float64
+        ))
+        cos = vecs @ qv
+        c6 = np.floor(cos * 1_000_000.0 + 0.5).astype(np.int64)
+        keep = vids != 0  # exclude the query vector itself
+        vids, c6 = vids[keep], c6[keep]
+        top = np.lexsort((vids, -c6))[:leg_k]
+        return pa.table(
+            {
+                "vec_id": pa.array(vids[top], pa.int64()),
+                "cos_c6": pa.array(c6[top], pa.int64()),
+            }
+        )
+
+    vs = collect_table(
+        read_parquet_nometa(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).map_batches(vec_partial, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("cos_c6", pa.int64())]),
+    )
+    v_ids = np.asarray(vs.column("vec_id"), dtype=np.int64)
+    v_c6 = np.asarray(vs.column("cos_c6"), dtype=np.int64)
+    ov = np.lexsort((v_ids, -v_c6))[:leg_k]
+    rank_vec = {int(v_ids[i]): r + 1 for r, i in enumerate(ov)}
+
+    # --- fusion over the two bounded lists (kw term first, then vec)
+    rows = []
+    for d in sorted(set(rank_kw) | set(rank_vec)):
+        rk = rank_kw.get(d, 0)
+        rv = rank_vec.get(d, 0)
+        rrf = (1.0 / (RRF_K + rk) if rk else 0.0) \
+            + (1.0 / (RRF_K + rv) if rv else 0.0)
+        rows.append((d, rk, rv,
+                     int(np.floor(rrf * 1_000_000_000.0 + 0.5))))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:k]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "rank_kw": pa.array([r[1] for r in rows], pa.int64()),
+                "rank_vec": pa.array([r[2] for r in rows], pa.int64()),
+                "rrf_c9": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )
