@@ -582,7 +582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     simhash_dedup_pairs gained DuckDB oracles in round 5, and session 2
     added gopher_filter + sequence_pack + quality_percentile +
     dedup_paragraphs + token_budget_select + ann_topk_filtered +
-    keyword_search + hybrid_search — 82 oracled of 96 total).
+    keyword_search + hybrid_search + quality_percentile_by_lang — 83
+    oracled of 97 total).
     ROUND-5 ROTATION
     (VERDICT r04 next-round #1): the 22 oracled entries that sat at
     positions 51-72 in r04 (and therefore have no driver row yet) lead
@@ -667,6 +668,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- SQL-ORACLED, outside the window: all 29 below are
         #      driver-green in CORRECTNESS_r04 (rotation keeps r04∪r05
         #      coverage complete); also oracle-verified in-repo ----
+        # oracled round 5 s2 (outside the window, in-repo sweep evidence):
+        # PARTITIONED percent_rank — (lang, score_c6)-keyed bounded
+        # histogram, per-partition driver cumsum, one broadcast
+        "quality_percentile_by_lang": text.quality_percentile_by_lang,
         "lang_count": text.lang_count,
         "token_count_by_source": text.token_count_by_source,
         "quality_filter": text.quality_filter,
@@ -1082,6 +1087,15 @@ def oracle_sql() -> dict[str, str]:
         # mirror of ops.clean.dedup_paragraphs (same md5 keys, packed
         # first-wins order, '\n' reassembly + md5 fingerprint)
         "dedup_paragraphs": _clean.dedup_paragraphs_sql(),
+        # mirror of ops.text.quality_percentile_by_lang (PARTITION BY lang)
+        "quality_percentile_by_lang": f"""
+            SELECT q.doc_id, d.lang, q.quality_c6,
+                   CAST(floor(PERCENT_RANK() OVER (
+                            PARTITION BY d.lang ORDER BY q.quality_c6)
+                        * 1000000.0 + 0.5) AS BIGINT) AS pctile_c6
+            FROM ({_quality_score_sql()}) q
+            JOIN documents d ON q.doc_id = d.doc_id
+        """,
         # mirror of ops.text.token_budget_select (running token sum over
         # (quality DESC, doc_id), kept while <= budget; shares the
         # quality_score oracle subquery)

@@ -147,7 +147,7 @@ def run_bench(num_cpus: int, kg_only: bool = False) -> dict:
             "source_mixture_sample", "corpus_report",
             "gopher_filter", "sequence_pack", "quality_percentile",
             "dedup_paragraphs", "token_budget_select", "ann_topk_filtered",
-            "keyword_search", "hybrid_search",
+            "keyword_search", "hybrid_search", "quality_percentile_by_lang",
             "semdedup",
             "lang_count", "quality_filter", "doc_fingerprint", "lang_id",
             "doc_sample", "ngram_top", "simhash_docs", "ann_ivf",

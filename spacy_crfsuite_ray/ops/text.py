@@ -1960,3 +1960,82 @@ def keyword_search_sql(terms=KEYWORD_QUERY, k: int = KEYWORD_TOPK) -> str:
         ORDER BY score_c6 DESC, doc_id
         LIMIT {k}
     """
+
+
+def quality_percentile_by_lang(sf_dir: str) -> "rd.Dataset":
+    """PARTITIONED window at scale: PERCENT_RANK() OVER (PARTITION BY lang
+    ORDER BY quality_c6) for every doc. Same bounded-histogram shape as
+    quality_percentile, keyed (lang, score_c6) — the histogram is capped
+    at |langs| × 1e6+1 rows regardless of corpus size, the driver cumsum
+    runs per partition, and the second scan maps (lang, score) →
+    percentile through one broadcast dict. Tie and single-row-partition
+    semantics match SQL exactly (cnt_less/(n_part-1), 0 when a partition
+    has one doc)."""
+    import ray
+
+    from ..functions.tables import collect_table
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        s = _quality_score_batch(batch)
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "q": s.column("quality_c6"),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["lang", "q"]).aggregate([("n", "sum")]) \
+            .rename_columns(["lang", "q", "n"])
+
+    hist = collect_table(
+        coalesce_small(
+            _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+                hist_partial, batch_format="pyarrow"
+            )
+        )
+        .groupby(["lang", "q"])
+        .sum("n"),
+        pa.schema([("lang", pa.string()), ("q", pa.int64()),
+                   ("sum(n)", pa.int64())]),
+    )
+    langs = hist.column("lang").to_pylist()
+    qv = np.asarray(hist.column("q"), dtype=np.int64)
+    cn = np.asarray(hist.column("sum(n)"), dtype=np.int64)
+    pr_of: dict = {}
+    for lang in set(langs):
+        sel = np.fromiter((x == lang for x in langs), dtype=bool,
+                          count=len(langs))
+        lq, lc = qv[sel], cn[sel]
+        o = np.argsort(lq)
+        lq, lc = lq[o], lc[o]
+        less = np.concatenate([[0], np.cumsum(lc)[:-1]])
+        denom = max(int(lc.sum()) - 1, 1)
+        for s, l in zip(lq, less):
+            pr_of[(lang, int(s))] = int(
+                np.floor(l / denom * 1_000_000.0 + 0.5)
+            )
+    ref = ray.put(pr_of)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        m = get_broadcast(ref)
+        s = _quality_score_batch(batch)
+        qs = np.asarray(s.column("quality_c6"), dtype=np.int64)
+        ls = batch.column("lang").to_pylist()
+        pr = np.fromiter(
+            (m[(lang, int(x))] for lang, x in zip(ls, qs)),
+            dtype=np.int64, count=len(qs),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "quality_c6": s.column("quality_c6"),
+                "pctile_c6": pa.array(pr, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        tag, batch_format="pyarrow"
+    )

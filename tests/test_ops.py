@@ -56,7 +56,7 @@ from conftest import assert_matches_oracle as _assert_matches_oracle  # noqa: E4
     "corpus_report", "simhash_docs", "simhash_dedup_pairs",
     "gopher_filter", "sequence_pack", "quality_percentile",
     "dedup_paragraphs", "token_budget_select", "ann_topk_filtered",
-    "keyword_search", "hybrid_search",
+    "keyword_search", "hybrid_search", "quality_percentile_by_lang",
 ])
 def test_sql_oracled_queries(ray_session, con, name):
     import __ray_entry__ as E
