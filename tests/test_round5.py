@@ -625,3 +625,40 @@ def test_keyword_search_tie_at_limit(ray_session, tmp_path):
     ids = set(got["doc_id"])
     assert {31, 32, 33} <= ids
     assert ids - {31, 32, 33} == set(range(1, 18))
+
+
+def test_quality_percentile_by_lang_single_doc_partition(ray_session,
+                                                         tmp_path):
+    """A partition with ONE doc gets percentile 0 (the SQL 0/0
+    convention), and partitions don't leak into each other."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from conftest import assert_matches_oracle
+    from spacy_crfsuite_ray.ops.text import quality_percentile_by_lang
+
+    sch = pq.read_schema(f"{SF}/documents.parquet")
+    texts = ["the cat and dog", "a b c", "zz qq pp", "lone doc here"]
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en", "en", "en", "xx"],  # 'xx' is a 1-doc partition
+        "source": ["s"] * 4,
+        "text": texts,
+        "n_chars": [len(t) for t in texts],
+    }
+    cols = {f.name: rows.get(f.name, [None] * 4) for f in sch}
+    pq.write_table(
+        pa.table({f.name: pa.array(cols[f.name], f.type) for f in sch}),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    got = assert_matches_oracle(
+        quality_percentile_by_lang(str(tmp_path)),
+        E.oracle_sql()["quality_percentile_by_lang"], con,
+    )
+    xx = got[got["lang"] == "xx"]
+    assert len(xx) == 1 and int(xx["pctile_c6"].iloc[0]) == 0
